@@ -1,0 +1,25 @@
+from cminer_spark.operators.edges import (
+    extract_edges,
+    passthrough_turns,
+    vertices_from_transcripts,
+)
+from cminer_spark.operators.graph import degrees, degrees_by_type, hub_vertices, csr_blocks
+from cminer_spark.operators.pagerank import pagerank
+from cminer_spark.operators.components import connected_components, hashmin_components
+from cminer_spark.operators.lpa import label_propagation
+from cminer_spark.operators.triangles import triangle_counts
+
+__all__ = [
+    "extract_edges",
+    "passthrough_turns",
+    "vertices_from_transcripts",
+    "degrees",
+    "degrees_by_type",
+    "hub_vertices",
+    "csr_blocks",
+    "pagerank",
+    "connected_components",
+    "hashmin_components",
+    "label_propagation",
+    "triangle_counts",
+]

@@ -1,0 +1,182 @@
+"""Connected components — alternating large-star/small-star, exact.
+
+Implements the two-phase alternating algorithm of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SOCC'14) — the
+O(log² n)-round formulation SURVEY §2.7 prescribes — entirely as
+DataFrame group-by/join supersteps. Component ids are canonical:
+the minimum vertex id of the component (FIXTURES.md §4).
+
+Also provides :func:`hashmin_components`, the simple O(diameter)
+hash-min iteration, which is both a differential oracle for the
+star algorithm and the fixed-round variant used by the SQL-unrolled
+correctness gate.
+
+The reference's closest operator is BFS connected-subgraph expansion
+(``/root/reference/src/Graph/Graph.py:184-210``, SURVEY §2.7 G2);
+this engine replaces the per-node BFS with whole-graph supersteps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cminer_spark.plans.checkpoint import SuperstepCheckpoint, truncate_lineage
+
+
+@dataclass
+class CCInfo:
+    rounds: int = 0
+    converged: bool = False
+    n_components: int = 0
+    resumed_from: int | None = None
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each u: connect every strictly-larger neighbor to
+    min(Γ(u) ∪ {u})."""
+    sym = _sym(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each u: connect all small neighbors
+    (and u itself) to the minimum."""
+    dirE = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = dirE.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        dirE.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return moved
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 50,
+    checkpoint: SuperstepCheckpoint | None = None,
+) -> tuple[DataFrame, CCInfo]:
+    """Exact connected components of the undirected projection of
+    ``edges(src, dst)``. Returns ``(labels(v_id, component), info)``;
+    ``component`` = min vertex id in the component."""
+    spark = edges.sparkSession
+    info = CCInfo()
+
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+
+    start_round = 0
+    if checkpoint is not None:
+        resume = checkpoint.latest()
+        if resume is not None:
+            start_round, e, _meta = resume
+            info.resumed_from = start_round
+    e = truncate_lineage(e)
+    prev_fp = _fingerprint(e)
+
+    for rnd in range(start_round + 1, max_rounds + 1):
+        e2 = _small_star(_large_star(e))
+        e2 = (
+            checkpoint.save(rnd, e2, {"round": rnd})
+            if checkpoint is not None
+            else truncate_lineage(e2)
+        )
+        fp = _fingerprint(e2)
+        e = e2
+        info.rounds = rnd
+        if fp == prev_fp:
+            info.converged = True
+            break
+        prev_fp = fp
+
+    # Converged state is a set of stars (child → root=min). Components:
+    # every child maps to its root, roots map to themselves, isolated
+    # vertices map to themselves.
+    labels = e.select(F.col("u").alias("v_id"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("v_id"), F.col("v").alias("component"))
+    )
+    labels = labels.groupBy("v_id").agg(F.min("component").alias("component"))
+
+    all_v = edges.select(F.col("src").alias("v_id")).union(
+        edges.select(F.col("dst").alias("v_id"))
+    )
+    if vertices is not None:
+        all_v = all_v.union(vertices.select("v_id"))
+    all_v = all_v.distinct()
+    labels = all_v.join(labels, "v_id", "left").select(
+        "v_id", F.coalesce("component", "v_id").alias("component")
+    )
+    info.n_components = labels.select("component").distinct().count()
+    return labels, info
+
+
+def hashmin_components(
+    edges: DataFrame,
+    rounds: int,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-``rounds`` hash-min label propagation:
+    label'(v) = min(label(v), min_{u~v} label(u)); exact CC when
+    ``rounds`` ≥ graph diameter. Deterministic integer logic — used as
+    a second implementation for differential tests and as the
+    SQL-unrollable gate variant."""
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    all_v = edges.select(F.col("src").alias("v_id")).union(
+        edges.select(F.col("dst").alias("v_id"))
+    )
+    if vertices is not None:
+        all_v = all_v.union(vertices.select("v_id"))
+    labels = all_v.distinct().select("v_id", F.col("v_id").alias("component"))
+    sym = sym.persist()
+    for _ in range(rounds):
+        nbr_min = (
+            sym.join(labels.select(F.col("v_id").alias("u"), "component"), "u")
+            .groupBy(F.col("v").alias("v_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = truncate_lineage(
+            labels.join(nbr_min, "v_id", "left").select(
+                "v_id",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        )
+    sym.unpersist()
+    return labels

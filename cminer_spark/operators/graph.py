@@ -1,0 +1,164 @@
+"""Graph-structural layer: degrees, hub detection, CSR adjacency blocks.
+
+Reference parity: per-label in/out degrees are the reference's
+``tot_deg/in_deg/out_deg`` and ``t_in_deg/t_out_deg``
+(``/root/reference/src/Graph/Graph.py:225-288``, SURVEY §2.4 A6);
+label catalogs are ``src/Graph/Graph.py:90-99`` (A7). CSR blocks are
+the north-rule materialization for iterative sparse gather-scatter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex ``(v_id, out_deg, in_deg, tot_deg)``.
+
+    One shuffle per direction, partial-aggregated map-side; the union
+    is a cheap second agg on the already-small per-vertex table.
+    """
+    out_d = edges.groupBy(F.col("src").alias("v_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("v_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "v_id", "full_outer")
+        .select(
+            "v_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+        .withColumn("tot_deg", F.col("out_deg") + F.col("in_deg"))
+    )
+
+
+def degrees_by_type(edges: DataFrame) -> DataFrame:
+    """Per-vertex per-edge-label degrees ``(v_id, type, t_out_deg,
+    t_in_deg)`` — reference ``t_in_deg``/``t_out_deg``
+    (``src/Graph/Graph.py:256-288``)."""
+    out_d = edges.groupBy(F.col("src").alias("v_id"), "type").agg(
+        F.count(F.lit(1)).alias("t_out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("v_id"), "type").agg(
+        F.count(F.lit(1)).alias("t_in_deg")
+    )
+    return out_d.join(in_d, ["v_id", "type"], "full_outer").select(
+        "v_id",
+        "type",
+        F.coalesce("t_out_deg", F.lit(0)).alias("t_out_deg"),
+        F.coalesce("t_in_deg", F.lit(0)).alias("t_in_deg"),
+    )
+
+
+def hub_vertices(edges: DataFrame, quantile: float = 0.99, factor: float = 4.0) -> DataFrame:
+    """Detect hot vertices: in-degree > factor × p_quantile(in-degree).
+
+    Returned frame ``(v_id, in_deg)`` is expected to be tiny (hub
+    tools / celebrity vertices) and safe to broadcast into salting
+    decisions.
+    """
+    in_d = edges.groupBy(F.col("dst").alias("v_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    q = in_d.agg(
+        F.percentile_approx("in_deg", F.lit(quantile), F.lit(10000)).alias("q")
+    ).collect()[0]["q"]
+    threshold = max(float(q or 1.0) * factor, 1.0)
+    return in_d.where(F.col("in_deg") > F.lit(threshold))
+
+
+def csr_blocks(edges: DataFrame, n_blocks: int | None = None) -> DataFrame:
+    """Materialize salted, range-partitioned CSR adjacency blocks.
+
+    ``(block_id, src, dsts array<long>, weights array<double>,
+    out_deg)`` — one row per source vertex, rows range-partitioned by
+    ``src`` and sorted within partitions, so a rank join against a
+    range-partitioned rank table is co-located. At cluster scale this
+    is written once as a bucketed/sorted Iceberg or parquet table and
+    reused by every superstep (write with
+    ``.write.format("parquet").bucketBy(n, "src")``); the per-block
+    manifest for lineage comes from
+    :mod:`cminer_spark.plans.checkpoint`.
+    """
+    spark = edges.sparkSession
+    n_blocks = n_blocks or spark.sparkContext.defaultParallelism
+    agg = (
+        edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+        .repartitionByRange(n_blocks, "src")
+        .sortWithinPartitions("src", "dst")
+    )
+    return (
+        agg.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dst", "w"))).alias("adj"),
+        )
+        .select(
+            F.spark_partition_id().alias("block_id"),
+            "src",
+            F.col("adj.dst").alias("dsts"),
+            F.col("adj.w").alias("weights"),
+            F.size("adj").alias("out_deg"),
+        )
+    )
+
+
+def label_catalog(vertices: DataFrame) -> DataFrame:
+    """Sorted distinct node labels — reference memoized catalog
+    ``src/Graph/Graph.py:90-93`` (A7)."""
+    return (
+        vertices.select(F.explode("labels").alias("label"))
+        .distinct()
+        .orderBy("label")
+    )
+
+
+def jaccard_similarity(edges: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Neighborhood Jaccard over undirected neighbor sets for vertex
+    pairs sharing ≥ ``min_shared`` neighbors — reference
+    ``src/Graph/Graph.py:149-164`` (A8).
+
+    Computed via wedge enumeration (pairs through a shared neighbor)
+    + degree join: |A∩B| from the wedge count over distinct
+    neighbor sets, |A∪B| = deg(a)+deg(b)-|A∩B|. Avoids
+    materializing neighbor arrays for high-degree vertices; the
+    wedge join is the same shape as triangle counting and scales the
+    same way.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.select("a", "b").union(und.select(F.col("b"), F.col("a"))).toDF(
+        "v", "nbr"
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = sym.select(F.col("nbr").alias("shared"), F.col("v").alias("a"))
+    e2 = sym.select(F.col("nbr").alias("shared"), F.col("v").alias("b"))
+    wedges = (
+        e1.join(e2, "shared")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_cnt"))
+        .where(F.col("shared_cnt") >= min_shared)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        wedges.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("shared_cnt")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared_cnt"))
+            ).alias("jaccard"),
+        )
+    )

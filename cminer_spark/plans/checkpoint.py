@@ -1,0 +1,117 @@
+"""Per-superstep checkpoint with per-partition lineage + metrics.
+
+Every iterative algorithm in the engine (PageRank, CC, LPA) routes
+its per-iteration state through this store when given a checkpoint
+directory. Responsibilities:
+
+1. **Lineage truncation** — each superstep's plan would otherwise
+   grow unboundedly (SURVEY §7.3); writing + reading back cuts the
+   plan at a stable parquet scan.
+2. **Exact resume** — a superstep is committed only when its metrics
+   JSON exists (written strictly after the parquet ``_SUCCESS``);
+   ``latest()`` returns the highest committed iteration, so a killed
+   run resumes from the last complete superstep and produces results
+   identical to an uninterrupted run (tested).
+3. **Per-partition lineage + convergence metrics** — for each
+   superstep we record per-partition row counts and order-insensitive
+   content hashes (``sum(xxhash64(struct(*)))`` per partition) plus
+   the algorithm's convergence metrics (e.g. L1 delta).
+
+Layout::
+
+    <dir>/iter=<i>/...parquet      # state
+    <dir>/meta/iter_<i>.json       # commit marker + lineage + metrics
+
+Local filesystem paths here; on a cluster the same layout lands on
+object storage (the code only uses ``DataFrame.write`` and JSON
+sidecars, both object-store-safe) or an Iceberg table keyed by
+iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SuperstepCheckpoint:
+    def __init__(self, spark: SparkSession, directory: str):
+        self.spark = spark
+        self.dir = directory
+        os.makedirs(os.path.join(directory, "meta"), exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def _data_path(self, i: int) -> str:
+        return os.path.join(self.dir, f"iter={i}")
+
+    def _meta_path(self, i: int) -> str:
+        return os.path.join(self.dir, "meta", f"iter_{i}.json")
+
+    # -- api -----------------------------------------------------------
+    def committed_iterations(self) -> list[int]:
+        meta = os.path.join(self.dir, "meta")
+        out = []
+        for name in os.listdir(meta):
+            if name.startswith("iter_") and name.endswith(".json"):
+                out.append(int(name[len("iter_") : -len(".json")]))
+        return sorted(out)
+
+    def latest(self) -> tuple[int, DataFrame, dict] | None:
+        """Highest committed (iteration, state, metrics), or None."""
+        its = self.committed_iterations()
+        if not its:
+            return None
+        i = its[-1]
+        with open(self._meta_path(i)) as f:
+            meta = json.load(f)
+        return i, self.spark.read.parquet(self._data_path(i)), meta
+
+    def save(self, i: int, df: DataFrame, metrics: dict) -> DataFrame:
+        """Write superstep state + lineage, return the read-back frame
+        (lineage-truncated) for the next superstep."""
+        path = self._data_path(i)
+        df.write.mode("overwrite").parquet(path)
+        back = self.spark.read.parquet(path)
+        lineage = [
+            {"partition": r["p"], "rows": r["rows"], "content_hash": r["h"]}
+            for r in (
+                back.groupBy(F.spark_partition_id().alias("p"))
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    # bit_xor: order-insensitive content hash, overflow-free
+                    # under ANSI mode
+                    F.expr(
+                        "bit_xor(xxhash64(struct("
+                        + ", ".join(f"`{c}`" for c in back.columns)
+                        + ")))"
+                    ).alias("h"),
+                )
+                .collect()
+            )
+        ]
+        meta = {
+            "iteration": i,
+            "rows": int(sum(p["rows"] for p in lineage)),
+            "partitions": lineage,
+            "metrics": metrics,
+        }
+        tmp = self._meta_path(i) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(i))  # commit point
+        return back
+
+    def clear(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)
+        os.makedirs(os.path.join(self.dir, "meta"), exist_ok=True)
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint-less lineage cut for un-checkpointed runs:
+    ``localCheckpoint`` keeps iterative plans bounded without a
+    durable store (durable runs use :class:`SuperstepCheckpoint`)."""
+    return df.localCheckpoint(eager=True)

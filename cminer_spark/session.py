@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode is the sandbox proxy for a multi-executor cluster: the same
+configuration (AQE, adaptive coalescing, skew-join handling, Arrow
+exchange) is what the engine would run with under ``spark-submit
+--py-files`` on a real cluster; only ``master`` and the memory knobs
+change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cminer_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for iterative graph work.
+
+    ``shuffle_partitions`` defaults to the core count of the local
+    master so that runs at different parallelism levels (local[8] vs
+    local[32] — the sandbox proxy for N vs 4N executors) are
+    shuffle-bound the same way.
+    """
+    master = master or os.environ.get("CMINER_SPARK_MASTER", "local[*]")
+    cores = _master_cores(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("CMINER_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _master_cores(master: str) -> int:
+    """Parse core count from a local[...] master string."""
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return 8

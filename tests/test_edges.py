@@ -1,0 +1,109 @@
+"""Edge extraction kernel: pairing correctness, batch-boundary carry,
+text-equality invariant, id stability, vertex labeling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cminer_spark.operators import (
+    extract_edges,
+    passthrough_turns,
+    vertices_from_transcripts,
+)
+from cminer_spark.operators.edges import _conv_stream_kernel, _edges_from_batch
+from cminer_spark.synth import synth_transcripts
+
+
+def test_edge_counts_match_closed_form(spark):
+    t = synth_transcripts(spark, n_convs=150, seed=42).persist()
+    edges = extract_edges(t).persist()
+    n_turns = t.count()
+    n_convs = t.select("conv_id").distinct().count()
+    n_tool_turns = t.where(F.col("tool").isNotNull()).count()
+    n_replies = edges.where(F.col("type") == "replies_to").count()
+    n_invokes = edges.where(F.col("type") == "invokes").count()
+    assert n_replies == n_turns - n_convs  # one per consecutive pair
+    assert n_invokes == n_tool_turns
+
+
+def test_pairing_matches_window_lag(spark):
+    """Differential test: the Arrow kernel must equal the declarative
+    lag-window formulation."""
+    t = synth_transcripts(spark, n_convs=120, seed=7)
+    got = (
+        extract_edges(t)
+        .where(F.col("type") == "replies_to")
+        .select("src_key", "dst_key")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    want = (
+        t.withColumn("prev_idx", F.lag("turn_idx").over(w))
+        .where(F.col("prev_idx").isNotNull())
+        .select(
+            F.concat_ws("#", "conv_id", "turn_idx").alias("src_key"),
+            F.concat_ws("#", "conv_id", "prev_idx").alias("dst_key"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_kernel_carries_conversations_across_batches():
+    """Unit test of the batch-boundary carry: tiny batches that split
+    conversations must still produce every consecutive pair."""
+    import pandas as pd
+
+    rows = []
+    for conv in ["a", "b", "c"]:
+        for i in range(5):
+            rows.append({"conv_id": conv, "turn_idx": i, "tool": None})
+    pdf = pd.DataFrame(rows)
+    batches = [pdf.iloc[i : i + 2] for i in range(0, len(pdf), 2)]  # splits convs
+    out = pd.concat(list(_conv_stream_kernel(_edges_from_batch)(iter(batches))))
+    assert len(out) == 3 * 4
+    assert set(out["type"]) == {"replies_to"}
+    assert "a#1" in set(out["src_key"]) and "c#4" in set(out["src_key"])
+
+
+def test_text_equality_invariant(spark):
+    """BASELINE.json input_hint: per-turn text equality under stable
+    turn ordering must survive the edge-extraction path."""
+    t = synth_transcripts(spark, n_convs=100, seed=42)
+    src = t.select("conv_id", "turn_idx", F.sha2("text", 256).alias("sha"))
+    out = passthrough_turns(t).select(
+        "conv_id", "turn_idx", F.sha2("text", 256).alias("sha")
+    )
+    assert src.exceptAll(out).count() == 0
+    assert out.exceptAll(src).count() == 0
+    assert out.count() == t.count()
+
+
+def test_ids_stable_across_partitioning(spark):
+    t = synth_transcripts(spark, n_convs=60, seed=42)
+    e1 = {
+        (r.src, r.dst, r.type)
+        for r in extract_edges(t, partitions=2).collect()
+    }
+    e2 = {
+        (r.src, r.dst, r.type)
+        for r in extract_edges(t, partitions=13).collect()
+    }
+    assert e1 == e2
+
+
+def test_vertices_multilabel(spark):
+    t = synth_transcripts(spark, n_convs=40, seed=42)
+    v = vertices_from_transcripts(t)
+    row = v.where(F.array_contains("labels", "turn")).first()
+    assert any(lbl.startswith("role:") for lbl in row.labels)
+    assert v.select("v_id").distinct().count() == v.count()
+
+
+def test_synth_deterministic(spark):
+    a = synth_transcripts(spark, n_convs=50, seed=42)
+    b = synth_transcripts(spark, n_convs=50, seed=42)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = synth_transcripts(spark, n_convs=50, seed=43)
+    assert c.exceptAll(a).count() > 0

@@ -1,0 +1,84 @@
+"""LPA determinism/parity + triangle exactness vs networkx."""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+
+from cminer_spark.operators import label_propagation, triangle_counts
+
+from tests.conftest import edges_df
+from tests.oracles import lpa_oracle
+
+
+def test_lpa_matches_handwritten_oracle(spark):
+    rng = random.Random(23)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(80)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = edges_df(spark, pairs)
+    for rounds in (1, 3):
+        labels, _ = label_propagation(df, max_rounds=rounds, stop_when_stable=False)
+        got = {r.v_id: r.label for r in labels.collect()}
+        want = lpa_oracle(pairs, rounds=rounds)
+        assert got == want
+
+
+def test_lpa_deterministic_across_partitioning(spark):
+    rng = random.Random(29)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df1 = edges_df(spark, pairs).repartition(2)
+    df2 = edges_df(spark, pairs).repartition(7)
+    l1, _ = label_propagation(df1, max_rounds=4, stop_when_stable=False)
+    l2, _ = label_propagation(df2, max_rounds=4, stop_when_stable=False)
+    assert {(r.v_id, r.label) for r in l1.collect()} == {
+        (r.v_id, r.label) for r in l2.collect()
+    }
+
+
+def test_lpa_two_cliques(spark):
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    labels, info = label_propagation(edges_df(spark, k1 + k2), max_rounds=10)
+    got = {r.v_id: r.label for r in labels.collect()}
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v] for v in range(10, 15)}) == 1
+    assert got[0] != got[10]
+    assert info.converged
+
+
+def _nx_triangles(pairs):
+    g = nx.Graph()
+    g.add_edges_from((s, d) for s, d in pairs if s != d)
+    per = nx.triangles(g)
+    return per, sum(per.values()) // 3
+
+
+def test_triangles_two_cliques_closed_form(spark):
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    per_v, total = triangle_counts(edges_df(spark, k1 + k2 + [(4, 10)]))
+    got = {r.v_id: r.triangles for r in per_v.collect()}
+    # inside K5 every vertex closes C(4,2)=6 triangles
+    assert all(got[v] == 6 for v in range(5))
+    assert total == 20
+
+
+def test_triangles_random_parity(spark):
+    rng = random.Random(31)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(240)]
+    # include parallel + self edges to prove simple-projection handling
+    pairs += [(1, 1), (2, 3), (2, 3)]
+    per_v, total = triangle_counts(edges_df(spark, pairs))
+    want_per, want_total = _nx_triangles(pairs)
+    got = {r.v_id: r.triangles for r in per_v.collect()}
+    assert total == want_total
+    assert got == dict(want_per)
+
+
+def test_triangles_cycle_has_none(spark):
+    n = 12
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    _, total = triangle_counts(edges_df(spark, pairs))
+    assert total == 0

@@ -1,0 +1,116 @@
+"""PageRank parity vs numpy oracle + closed-form graphs (SURVEY §5)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from cminer_spark.operators import pagerank
+from cminer_spark.plans import SuperstepCheckpoint
+
+from tests.conftest import edges_df
+from tests.oracles import pagerank_oracle
+
+
+def _assert_parity(spark, pairs, vertices=None, **kw):
+    df = edges_df(spark, pairs)
+    vdf = (
+        spark.createDataFrame([(int(v),) for v in vertices], "v_id long")
+        if vertices
+        else None
+    )
+    ranks, info = pagerank(df, tol=1e-9, max_iter=200, vertices=vdf, **kw)
+    got = {r.v_id: r.rank for r in ranks.collect()}
+    want = pagerank_oracle(
+        [(p[0], p[1], 1.0) for p in pairs], vertices=vertices, tol=1e-9
+    )
+    assert set(got) == set(want)
+    a = np.array([got[k] for k in sorted(got)])
+    b = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+    assert abs(a.sum() - 1.0) < 1e-6
+    return info
+
+
+def test_directed_cycle_uniform(spark):
+    n = 10
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    df = edges_df(spark, pairs)
+    ranks, info = pagerank(df, tol=1e-10, max_iter=100)
+    vals = [r.rank for r in ranks.collect()]
+    assert len(vals) == n
+    assert np.allclose(vals, 1.0 / n, atol=1e-9)
+    assert info.converged
+
+
+def test_star_hub(spark):
+    # leaves → hub; hub dangling. Closed form: leaves get (1-d)/n +
+    # d*dangling/n each; verified against the oracle.
+    pairs = [(i, 0) for i in range(1, 9)]
+    _assert_parity(spark, pairs)
+
+
+def test_dangling_chain_and_isolated(spark):
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    _assert_parity(spark, pairs, vertices=[1, 2, 3, 4, 100, 200])
+
+
+def test_random_graph_parity(spark):
+    rng = random.Random(7)
+    n = 60
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    info = _assert_parity(spark, pairs)
+    assert info.converged
+
+
+def test_parallel_edges_weighting(spark):
+    # multigraph: duplicated edge doubles its weight share
+    pairs = [(1, 2), (1, 2), (1, 3), (3, 1), (2, 1)]
+    _assert_parity(spark, pairs)
+
+
+def test_salted_matches_unsalted(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(30), 0) for _ in range(200)]  # hot dst 0
+    pairs += [(rng.randrange(30), rng.randrange(30)) for _ in range(100)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = edges_df(spark, pairs)
+    r1, i1 = pagerank(df, tol=1e-9, max_iter=100, salt_partitions=8)
+    r2, i2 = pagerank(df, tol=1e-9, max_iter=100, salt_partitions=1)
+    assert i1.salted and not i2.salted
+    g1 = {r.v_id: r.rank for r in r1.collect()}
+    g2 = {r.v_id: r.rank for r in r2.collect()}
+    a = np.array([g1[k] for k in sorted(g1)])
+    b = np.array([g2[k] for k in sorted(g2)])
+    assert np.allclose(a, b, atol=1e-9)
+
+
+def test_checkpoint_resume_equals_fresh(spark, tmp_ckpt):
+    rng = random.Random(3)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = edges_df(spark, pairs)
+
+    fresh, fresh_info = pagerank(df, tol=1e-9, max_iter=50)
+
+    # interrupted run: stop after 3 supersteps
+    ck = SuperstepCheckpoint(spark, tmp_ckpt)
+    pagerank(df, tol=1e-9, max_iter=3, checkpoint=ck)
+    assert ck.committed_iterations() == [1, 2, 3]
+
+    resumed, info = pagerank(df, tol=1e-9, max_iter=50, checkpoint=ck)
+    assert info.resumed_from == 3
+    g1 = {r.v_id: r.rank for r in fresh.collect()}
+    g2 = {r.v_id: r.rank for r in resumed.collect()}
+    a = np.array([g1[k] for k in sorted(g1)])
+    b = np.array([g2[k] for k in sorted(g2)])
+    assert np.allclose(a, b, atol=1e-12)
+    assert info.iterations == fresh_info.iterations
+
+    # lineage metadata recorded per superstep
+    _, _, meta = ck.latest()
+    assert meta["partitions"] and all("content_hash" in p for p in meta["partitions"])
+    assert "l1_delta" in meta["metrics"]
