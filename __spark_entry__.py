@@ -1,38 +1,241 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: converged PageRank over the
+transcript-derived edge graph at sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2): the Spark side runs the ENGINE (cminer_spark
+operators, incl. the Arrow edge-extraction kernel); the oracle side is
+portable ANSI SQL DuckDB runs on the same parquet — iterative
+algorithms are gated as fixed-iteration variants with programmatically
+unrolled CTE chains (see cminer_spark/gate.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cminer_spark import gate
+from cminer_spark.operators import (
+    degrees,
+    degrees_by_type,
+    extract_edges,
+    hashmin_components,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
+from cminer_spark.operators.graph import jaccard_similarity
+
+_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make cminer_spark importable on executor python workers even if
+    the harness didn't export PYTHONPATH (mapInPandas kernels are
+    pickled by reference)."""
+    global _SHIPPED
+    if _SHIPPED:
+        return
+    pkg_dir = os.path.join(_HERE, "cminer_spark")
+    zip_path = os.path.join("/tmp", "cminer_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, _HERE))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED = True
+
+
+# ----------------------------------------------------------------------
+# entry — smoke check at sf0.001
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → Arrow edge extraction → converged
+    PageRank; returns the full ranked vertex table."""
+    _ship_package(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    transcripts = gate.transcripts_df(spark, sf_dir)
+    edges = extract_edges(transcripts)
+    ranks, _info = pagerank(edges, damping=0.85, tol=1e-6, max_iter=50)
+    return ranks.orderBy(F.desc("rank"), F.asc("v_id"))
+
+
+# ----------------------------------------------------------------------
+# gate queries (spark side = engine operators)
+# ----------------------------------------------------------------------
+
+def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
+    t = gate.transcripts_df(spark, sf_dir)
+    return extract_edges(t).select("src_key", "dst_key", "type")
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(gate.gate_edges_df(spark, sf_dir))
+
+
+def _q_degrees_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees_by_type(gate.gate_edges_df(spark, sf_dir))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = gate.gate_edges_df(spark, sf_dir)
+    ranks, info = pagerank(edges, damping=gate.DAMPING, tol=0.0, max_iter=gate.PR_ITERS)
+    n = info.n_vertices
+    return ranks.select(
+        "v_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
+    )
+
+
+def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
+
+
+def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels, _ = label_propagation(
+        gate.gate_edges_df(spark, sf_dir),
+        max_rounds=gate.LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return labels
+
+
+def _q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pv, total = triangle_counts(gate.gate_edges_df(spark, sf_dir))
+    return spark.createDataFrame([(total,)], "n_triangles long")
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv, _total = triangle_counts(gate.gate_edges_df(spark, sf_dir))
+    return pv
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = jaccard_similarity(gate.gate_edges_df(spark, sf_dir))
+    return sim.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_support_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 support aggregate (reference CMiner.py:174-227): group key ≈
+    extension code, support = #distinct transactions, HAVING minsup."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.countDistinct("l_orderkey").alias("support"),
+            F.count(F.lit(1)).alias("frequency"),
+        )
+        .where(F.col("support") >= 10)
+    )
+
+
+def _q_label_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 sorted distinct label catalog (reference Graph.py:90-99)."""
+    t = gate.transcripts_df(spark, sf_dir)
+    return t.select(F.col("role").alias("label")).distinct().orderBy("label")
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_extract": _q_edge_extract,
+        "degrees": _q_degrees,
+        "degrees_by_type": _q_degrees_by_type,
+        "pagerank_k5": _q_pagerank,
+        "connected_components_k10": _q_cc,
+        "lpa_k3": _q_lpa,
+        "triangles_total": _q_triangles_total,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "jaccard_similarity": _q_jaccard,
+        "support_count": _q_support_count,
+        "label_catalog": _q_label_catalog,
+        "tpch_q1": _q_tpch_q1,
+        "topk_window": _q_topk_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edge_extract": gate.edge_extract_oracle_sql(),
+        "degrees": gate.degrees_oracle_sql(),
+        "degrees_by_type": gate.degrees_by_type_oracle_sql(),
+        "pagerank_k5": gate.pagerank_oracle_sql(),
+        "connected_components_k10": gate.cc_oracle_sql(),
+        "lpa_k3": gate.lpa_oracle_sql(),
+        "triangles_total": gate.triangles_total_oracle_sql(),
+        "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
+        "jaccard_similarity": gate.jaccard_oracle_sql(),
+        "support_count": """
+            SELECT l_returnflag, l_linestatus,
+                   count(DISTINCT l_orderkey) AS support,
+                   count(*) AS frequency
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            HAVING count(DISTINCT l_orderkey) >= 10
+        """,
+        "label_catalog": f"""
+            WITH {gate.TRANSCRIPTS_CTE}
+            SELECT DISTINCT role AS label FROM tr ORDER BY label
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_window": """
+            SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders
+            ) t
+            WHERE rk <= 5
+        """,
+    }

@@ -1,0 +1,128 @@
+"""Benchmark entrypoint — prints ONE JSON line.
+
+Headline: PageRank to convergence over the transcript-derived edge
+graph (the BASELINE.json north-star metric is edges-processed/sec per
+PageRank superstep), plus the other north-rule algorithms and the
+Arrow edge-extraction kernel, at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Two graphs are benched:
+* the sf events-derived gate graph (same shape the correctness gate
+  checks), and
+* a larger deterministic synthetic transcripts graph (~12x sf events
+  turns) that gives the 32-core run enough work to be shuffle-bound —
+  this is the input the scaling run (tools/bench_scaling.py) uses at
+  two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from cminer_spark import get_spark  # noqa: E402
+from cminer_spark import gate  # noqa: E402
+from cminer_spark.operators import (  # noqa: E402
+    connected_components,
+    extract_edges,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
+from cminer_spark.synth import synth_transcripts  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "cminer-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+    entrymod._ship_package(spark)
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- events-derived gate graph ------------------------------------
+    edges = gate.gate_edges_df(spark, sf_dir).persist()
+    n_edges = edges.count()
+
+    def run_pagerank():
+        ranks, info = pagerank(edges, tol=1e-6, max_iter=60)
+        ranks.count()
+        return info
+
+    info = timed("pagerank_events", run_pagerank)
+    extras["pagerank_events_supersteps"] = info.iterations
+    extras["pagerank_events_edges_per_sec_per_superstep"] = round(
+        n_edges * info.iterations / queries["pagerank_events"], 1
+    )
+
+    timed("cc_events", lambda: connected_components(edges)[0].count())
+    timed(
+        "lpa4_events",
+        lambda: label_propagation(edges, max_rounds=4, stop_when_stable=False)[
+            0
+        ].count(),
+    )
+    timed("triangles_events", lambda: triangle_counts(edges)[0].count())
+    edges.unpersist()
+
+    # -- synthetic transcripts graph (scaling-run input) ----------------
+    n_convs = int(100_000 * sf * 10)  # sf0.1 → 100k convs ≈ 1.2M turns
+    t = synth_transcripts(spark, n_convs=n_convs, seed=42)
+
+    def run_extract():
+        e = extract_edges(t).persist()
+        n = e.count()
+        return e, n
+
+    synth_edges, n_synth_edges = timed("edge_extract_synth", run_extract)
+    extras["synth_edges"] = n_synth_edges
+    extras["edge_extract_synth_edges_per_sec"] = round(
+        n_synth_edges / queries["edge_extract_synth"], 1
+    )
+
+    def run_pagerank_synth():
+        _ranks, info = pagerank(synth_edges, tol=0.0, max_iter=8)
+        return info
+
+    info2 = timed("pagerank8_synth", run_pagerank_synth)
+    extras["pagerank8_synth_edges_per_sec_per_superstep"] = round(
+        n_synth_edges * info2.iterations / queries["pagerank8_synth"], 1
+    )
+    synth_edges.unpersist()
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "pagerank_edges_per_sec_per_superstep",
+        "value": extras["pagerank8_synth_edges_per_sec_per_superstep"],
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": sf,
+        "total_sec": total,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

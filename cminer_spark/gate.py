@@ -1,0 +1,299 @@
+"""Correctness-gate queries + ANSI-SQL oracles.
+
+Each engine operator exposed through ``__spark_entry__.queries()`` has
+a DuckDB-runnable oracle built here. The gate graph is derived from
+the driver's ``events`` table with PORTABLE SQL (identical text runs
+on Spark and DuckDB), using arithmetic vertex ids so both engines
+agree bit-for-bit on keys:
+
+* turn vertex id  = user_id * 100000 + turn_idx
+* tool vertex id  = 1_000_000_000 + (event_id % 7)
+
+Iterative algorithms are gated as fixed-iteration variants whose
+oracles are programmatically UNROLLED into chained CTEs — integer
+results (CC, LPA, triangles) match exactly; PageRank is compared on
+``round(rank·N, 6)`` so float summation-order noise (~1e-15) cannot
+flip the hash.
+
+The convergence-driven variants (tol-based stopping) are covered by
+the pytest oracle-parity suite instead (tests/), mirroring the
+reference's checker strategy (``/root/reference/test/checker.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+PR_ITERS = 5
+CC_ROUNDS = 10
+LPA_ROUNDS = 3
+
+# ----------------------------------------------------------------------
+# Shared portable SQL fragments (run verbatim on Spark AND DuckDB)
+# ----------------------------------------------------------------------
+
+TRANSCRIPTS_CTE = """
+tr AS (
+  SELECT CAST(user_id AS STRING) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         CASE event_type WHEN 'purchase' THEN 'tool'
+                         WHEN 'signup' THEN 'system'
+                         WHEN 'error' THEN 'assistant'
+                         ELSE 'user' END AS role,
+         props AS text,
+         CASE WHEN event_type = 'purchase'
+              THEN 'tool_' || CAST(event_id % 7 AS STRING)
+              ELSE NULL END AS tool,
+         ts,
+         user_id,
+         event_id
+  FROM events
+)
+"""
+
+EDGES_CTE = (
+    TRANSCRIPTS_CTE
+    + """,
+edges AS (
+  SELECT user_id * 100000 + turn_idx     AS src,
+         user_id * 100000 + turn_idx - 1 AS dst,
+         'replies_to' AS type
+  FROM tr WHERE turn_idx > 0
+  UNION ALL
+  SELECT user_id * 100000 + turn_idx   AS src,
+         1000000000 + (event_id % 7)   AS dst,
+         'invokes' AS type
+  FROM tr WHERE tool IS NOT NULL
+),
+verts AS (
+  SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges
+),
+sym AS (
+  SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS u, src AS v FROM edges WHERE src <> dst
+)
+"""
+)
+
+
+def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_events(spark, sf_dir)
+    return spark.sql(f"WITH {TRANSCRIPTS_CTE} SELECT * FROM tr")
+
+
+def gate_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate graph as an edges DataFrame (engine input)."""
+    _register_events(spark, sf_dir)
+    return spark.sql(
+        f"WITH {EDGES_CTE} SELECT src, dst, type, 1.0 AS weight FROM edges"
+    )
+
+
+def _register_events(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# ----------------------------------------------------------------------
+# Unrolled oracle SQL builders
+# ----------------------------------------------------------------------
+
+def _materialize(sql: str) -> str:
+    """Force DuckDB to materialize every CTE (``AS MATERIALIZED``).
+
+    DuckDB inlines CTEs by default; an unrolled k-round chain where
+    round i references round i-1 twice would otherwise expand to 2^k
+    copies of the base scan. Oracle-only — Spark never parses these
+    strings (the Spark side runs engine operators).
+    """
+    return sql.replace("AS (SELECT", "AS MATERIALIZED (SELECT").replace(
+        "AS (\n", "AS MATERIALIZED (\n"
+    )
+
+
+def pagerank_oracle_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+adjw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM edges GROUP BY src, dst),
+outw AS (SELECT src, sum(w) AS ow FROM adjw GROUP BY src),
+adj  AS (SELECT a.src, a.dst, a.w / o.ow AS p FROM adjw a JOIN outw o ON a.src = o.src),
+nv   AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+dangf AS (SELECT v.v, CASE WHEN o.src IS NULL THEN 1 ELSE 0 END AS dang
+          FROM verts v LEFT JOIN outw o ON v.v = o.src),
+r0 AS (SELECT v.v, 1.0 / nv.n AS r FROM verts v CROSS JOIN nv)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+m{i} AS (SELECT a.dst AS v, sum(a.p * r.r) AS mass
+         FROM adj a JOIN r{i-1} r ON a.src = r.v GROUP BY a.dst),
+dg{i} AS (SELECT coalesce(sum(r.r), 0.0) AS dmass
+          FROM r{i-1} r JOIN dangf f ON r.v = f.v WHERE f.dang = 1),
+r{i} AS (SELECT v.v,
+                (1.0 - {d}) / nv.n + {d} * (coalesce(m.mass, 0.0) + dg.dmass / nv.n) AS r
+         FROM verts v CROSS JOIN nv CROSS JOIN dg{i} dg
+         LEFT JOIN m{i} m ON v.v = m.v)"""
+        )
+    parts.append(
+        f"""
+SELECT r.v AS v_id, round(r.r * nv.n, 6) AS rank_x_n
+FROM r{k} r CROSS JOIN nv"""
+    )
+    return _materialize("".join(parts))
+
+
+def cc_oracle_sql(k: int = CC_ROUNDS) -> str:
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+l0 AS (SELECT v AS v_id, v AS component FROM verts)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+mn{i} AS (SELECT s.v AS v_id, min(x.component) AS m
+          FROM sym s JOIN l{i-1} x ON s.u = x.v_id GROUP BY s.v),
+l{i} AS (SELECT l.v_id, least(l.component, coalesce(mn.m, l.component)) AS component
+         FROM l{i-1} l LEFT JOIN mn{i} mn ON l.v_id = mn.v_id)"""
+        )
+    parts.append(f"\nSELECT v_id, component FROM l{k}")
+    return _materialize("".join(parts))
+
+
+def lpa_oracle_sql(k: int = LPA_ROUNDS) -> str:
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+lab0 AS (SELECT v AS v_id, v AS label FROM verts)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+f{i} AS (SELECT s.v AS v_id, x.label, count(*) AS c
+         FROM sym s JOIN lab{i-1} x ON s.u = x.v_id GROUP BY s.v, x.label),
+w{i} AS (SELECT v_id, label,
+                row_number() OVER (PARTITION BY v_id ORDER BY c DESC, label ASC) AS rn
+         FROM f{i}),
+lab{i} AS (SELECT l.v_id, coalesce(w.label, l.label) AS label
+           FROM lab{i-1} l
+           LEFT JOIN (SELECT v_id, label FROM w{i} WHERE rn = 1) w
+             ON l.v_id = w.v_id)"""
+        )
+    parts.append(f"\nSELECT v_id, label FROM lab{k}")
+    return _materialize("".join(parts))
+
+
+TRIANGLE_CTES = """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+degs AS (SELECT v, count(*) AS dg
+         FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t
+         GROUP BY v),
+orient AS (SELECT CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+                       THEN u.a ELSE u.b END AS lo,
+                  CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+                       THEN u.b ELSE u.a END AS hi
+           FROM und u JOIN degs da ON u.a = da.v JOIN degs db ON u.b = db.v),
+wedge AS (SELECT e1.lo AS piv, e1.hi AS x, e2.hi AS y
+          FROM orient e1 JOIN orient e2 ON e1.lo = e2.lo
+          WHERE e1.hi < e2.hi),
+closing AS (SELECT least(lo, hi) AS x, greatest(lo, hi) AS y FROM orient),
+tris AS (SELECT w.piv, w.x, w.y
+         FROM wedge w JOIN closing c ON w.x = c.x AND w.y = c.y)
+"""
+
+
+def triangles_total_oracle_sql() -> str:
+    return _materialize(
+        f"WITH {EDGES_CTE}{TRIANGLE_CTES}"
+        "SELECT count(*) AS n_triangles FROM tris"
+    )
+
+
+def triangles_per_vertex_oracle_sql() -> str:
+    return _materialize(
+        f"WITH {EDGES_CTE}{TRIANGLE_CTES}"
+        """,
+corners AS (SELECT piv AS v_id FROM tris
+            UNION ALL SELECT x FROM tris
+            UNION ALL SELECT y FROM tris),
+cnt AS (SELECT v_id, count(*) AS triangles FROM corners GROUP BY v_id)
+SELECT v.v AS v_id, coalesce(c.triangles, 0) AS triangles
+FROM verts v LEFT JOIN cnt c ON v.v = c.v_id"""
+    )
+
+
+def edge_extract_oracle_sql() -> str:
+    return (
+        f"WITH {TRANSCRIPTS_CTE}"
+        """
+SELECT conv_id || '#' || CAST(turn_idx AS STRING) AS src_key,
+       conv_id || '#' || CAST(turn_idx - 1 AS STRING) AS dst_key,
+       'replies_to' AS type
+FROM tr WHERE turn_idx > 0
+UNION ALL
+SELECT conv_id || '#' || CAST(turn_idx AS STRING) AS src_key,
+       'tool:' || tool AS dst_key,
+       'invokes' AS type
+FROM tr WHERE tool IS NOT NULL"""
+    )
+
+
+def jaccard_oracle_sql() -> str:
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+nbr AS (SELECT a AS v, b AS nb FROM und UNION ALL SELECT b AS v, a AS nb FROM und),
+deg AS (SELECT v, count(*) AS dg FROM nbr GROUP BY v),
+wdg AS (SELECT e1.v AS a, e2.v AS b, count(*) AS shared_cnt
+        FROM nbr e1 JOIN nbr e2 ON e1.nb = e2.nb
+        WHERE e1.v < e2.v
+        GROUP BY e1.v, e2.v)
+SELECT w.a, w.b,
+       round(CAST(w.shared_cnt AS DOUBLE) / (da.dg + db.dg - w.shared_cnt), 6) AS jaccard
+FROM wdg w JOIN deg da ON w.a = da.v JOIN deg db ON w.b = db.v"""
+    )
+
+
+def degrees_oracle_sql() -> str:
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """,
+outd AS (SELECT src AS v_id, count(*) AS out_deg FROM edges GROUP BY src),
+ind  AS (SELECT dst AS v_id, count(*) AS in_deg  FROM edges GROUP BY dst)
+SELECT v.v AS v_id,
+       coalesce(o.out_deg, 0) AS out_deg,
+       coalesce(i.in_deg, 0)  AS in_deg,
+       coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS tot_deg
+FROM verts v
+LEFT JOIN outd o ON v.v = o.v_id
+LEFT JOIN ind  i ON v.v = i.v_id"""
+    )
+
+
+def degrees_by_type_oracle_sql() -> str:
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """,
+outd AS (SELECT src AS v_id, type, count(*) AS t_out_deg FROM edges GROUP BY src, type),
+ind  AS (SELECT dst AS v_id, type, count(*) AS t_in_deg  FROM edges GROUP BY dst, type)
+SELECT coalesce(o.v_id, i.v_id) AS v_id,
+       coalesce(o.type, i.type) AS type,
+       coalesce(o.t_out_deg, 0) AS t_out_deg,
+       coalesce(i.t_in_deg, 0)  AS t_in_deg
+FROM outd o
+FULL OUTER JOIN ind i ON o.v_id = i.v_id AND o.type = i.type"""
+    )
