@@ -25,7 +25,7 @@ if _HERE not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cminer_spark import gate
+from cminer_spark import gate, gate_pipeline
 from cminer_spark.operators import (
     degrees,
     degrees_by_type,
@@ -174,7 +174,12 @@ def _q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
-        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .select(
+            "o_orderpriority",
+            F.col("rk").cast("long").alias("rk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
     )
 
 
@@ -193,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_catalog": _q_label_catalog,
         "tpch_q1": _q_tpch_q1,
         "topk_window": _q_topk_window,
+        **gate_pipeline.queries(),
     }
 
 
@@ -238,4 +244,5 @@ def oracle_sql() -> dict[str, str]:
             ) t
             WHERE rk <= 5
         """,
+        **gate_pipeline.oracles(),
     }

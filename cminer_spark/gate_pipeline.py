@@ -1,0 +1,320 @@
+"""Gate queries + DuckDB oracles for the training-data pipeline
+operators (dedup, similarity search, text analysis).
+
+Oracles here are DuckDB-dialect SQL (they only ever run on DuckDB);
+both engines agree because every hash is md5 over identical strings
+and every float output is rounded. Int-valued outputs are cast to
+BIGINT on the Spark side to match DuckDB's count/length types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cminer_spark.pipeline import (
+    brute_force_cosine_topk,
+    exact_duplicates,
+    doc_fingerprint,
+    language_id,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    quality_stats,
+    simhash,
+    token_counts,
+)
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+JACCARD_THRESHOLD = 0.2
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+SIMHASH_BITS = 48
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ----------------------------------------------------------------------
+# spark-side queries
+# ----------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "text_hash", "canonical_id", "n_copies"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
+    )
+    return out.select("a", "b", F.col("n_bands").cast("long").alias("n_bands"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = brute_force_cosine_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = token_counts(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_chars_seen").cast("long").alias("n_chars_seen"),
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
+    )
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quality_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "stopword_ratio",
+        "non_alpha_ratio",
+        "repetition_ratio",
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "lang_pred", F.col("lang_score").cast("long").alias("lang_score")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracles
+# ----------------------------------------------------------------------
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                         ELSE [] END) AS u(i)
+)
+"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b,
+       round(CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_lsh_oracle_sql() -> str:
+    hashes = ", ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(MINHASH_HASHES)
+    )
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"h{bi * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + f") AS band{bi}"
+        for bi in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, band{bi} AS band_hash FROM banded"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, {bands} FROM sigs),
+bandrows AS ({band_rows})
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
+FROM bandrows x JOIN bandrows y
+  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+WHERE x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+"""
+
+
+def simhash_oracle_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h FROM toks
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {recon} AS simhash FROM votes
+"""
+
+
+def ann_topk_oracle_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH exp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, b.vec_id, sum(q.x * b.x) AS dot
+  FROM exp q JOIN exp b ON q.i = b.i
+  WHERE q.vec_id IN ({ids}) AND b.vec_id <> q.vec_id
+  GROUP BY q.vec_id, b.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.vec_id
+)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {ANN_K}
+"""
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(string_split_regex(text, ' +')) AS n_tokens,
+       len(list_distinct(string_split_regex(text, ' +'))) AS n_distinct_tokens,
+       length(text) AS n_chars_seen,
+       CAST(ceil(length(regexp_replace(text, ' ', '', 'g')) / 4.0) AS BIGINT) AS n_subword_est
+FROM documents
+"""
+
+_STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+QUALITY_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), ' +') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       round(length(regexp_replace(text, ' ', '', 'g')) / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+       round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS non_alpha_ratio,
+       round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 6) AS repetition_ratio
+FROM t
+"""
+
+
+def language_id_oracle_sql() -> str:
+    from cminer_spark.pipeline.textstats import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)  # alphabetical = smallest-code tie-break
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lg in langs:
+        pred += f"WHEN s_{lg} = {best} THEN '{lg}' "
+    pred += "END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS toks FROM documents
+),
+scored AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+SELECT doc_id, {pred} AS lang_pred, {best} AS lang_score FROM scored
+"""
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT d.doc_id,
+       md5(regexp_replace(lower(d.text), ' +', ' ', 'g')) AS content_hash,
+       m.rf AS rolling_fingerprint
+FROM documents d
+LEFT JOIN (SELECT doc_id, min(md5(s)) AS rf FROM sh GROUP BY doc_id) m
+  ON d.doc_id = m.doc_id
+"""
+
+
+def queries():
+    return {
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dups": q_ngram_jaccard,
+        "minhash_lsh_candidates": q_minhash_lsh,
+        "simhash48": q_simhash,
+        "ann_cosine_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "quality_stats": q_quality_stats,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
+
+
+def oracles():
+    return {
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+        "minhash_lsh_candidates": minhash_lsh_oracle_sql(),
+        "simhash48": simhash_oracle_sql(),
+        "ann_cosine_topk": ann_topk_oracle_sql(),
+        "token_counts": TOKEN_COUNTS_SQL,
+        "quality_stats": QUALITY_STATS_SQL,
+        "language_id": language_id_oracle_sql(),
+        "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    }

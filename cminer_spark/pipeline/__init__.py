@@ -1,0 +1,33 @@
+from cminer_spark.pipeline.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cminer_spark.pipeline.similarity import (
+    brute_force_cosine_topk,
+    cosine_near_duplicates,
+    lsh_bucketed_topk,
+)
+from cminer_spark.pipeline.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_stats,
+    token_counts,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "brute_force_cosine_topk",
+    "cosine_near_duplicates",
+    "lsh_bucketed_topk",
+    "doc_fingerprint",
+    "language_id",
+    "quality_stats",
+    "token_counts",
+]

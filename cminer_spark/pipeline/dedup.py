@@ -1,0 +1,211 @@
+"""Document deduplication operators for large-scale training pipelines.
+
+All operators are pure DataFrame expressions (JVM-side, codegen'd) —
+no Python in the hot path. Hashing is md5-based so results are
+engine-portable (the DuckDB correctness oracles compute the identical
+signatures).
+
+Scale notes:
+* exact dedup is one hash-aggregate — partial agg makes the hot-text
+  key (billions of copies of "" or boilerplate) cheap;
+* MinHash-LSH is the standard shingle→signature→band→bucket-join
+  pipeline: candidate generation never compares all pairs, only
+  same-bucket pairs (the 100 TB path); verification joins shingle
+  sets only for candidates;
+* n-gram Jaccard all-pairs is quadratic by nature and kept for
+  verification / small corpora — the LSH path is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 3
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.col(text_col)), " +")
+
+
+def shingles(text_col: str, n: int = DEFAULT_SHINGLE) -> F.Column:
+    """Distinct word n-gram shingles of a text column (empty array for
+    texts shorter than n tokens — guard needed because Spark's
+    ``sequence(1, 0)`` counts DOWN instead of being empty)."""
+    toks = _tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: ``(text_hash, canonical_id, n_copies, dup_ids)``.
+
+    One hash-aggregate; canonical = min id (deterministic).
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs shingle Jaccard ≥ threshold: ``(a, b, jaccard)``.
+
+    Computed by exploding distinct shingles and joining on shingle —
+    pairs with zero overlap are never materialized. Quadratic in the
+    worst case; use :func:`minhash_lsh_candidates` at scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "s")
+    b = sh.select(F.col("doc_id").alias("b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: ``(doc_id, sig array<string>)``.
+
+    Hash family h_i(s) = md5(i || '|' || s); the signature element is
+    the lexicographic min — identical in any engine with md5.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("s")
+    ).distinct()
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing ≥1 identical band
+    (band = md5 of its rows of the MinHash signature).
+
+    Output ``(a, b, n_bands)``. The join is an equi-join on
+    ``(band_idx, band_hash)`` buckets — never all-pairs.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", bi * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash fingerprint per document: ``(doc_id, simhash)``.
+
+    Token hash = first 12 hex chars of md5 (48 bits, positive in a
+    long); bit b of the fingerprint is 1 iff the sum of ±1 votes over
+    distinct tokens is positive. Pure expressions: explode tokens →
+    per-bit votes → aggregate.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_tokens(text_col))).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
+    return votes.select("doc_id", out.alias("simhash"))

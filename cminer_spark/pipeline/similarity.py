@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`brute_force_cosine_topk` — exact baseline: cross join
+  (broadcast query side) + JVM-side `aggregate`/`zip_with` dot
+  products + window top-k. The summation is strictly left-to-right
+  over the array, so results are deterministic at any parallelism.
+* :func:`lsh_bucketed_topk` — the scale path: random-hyperplane
+  (sign) LSH buckets via deterministic md5-derived hyperplanes;
+  candidates only come from matching buckets, then exact re-rank.
+  At 100 TB the bucket join replaces the cross join; recall is
+  tunable by n_planes/n_tables.
+* :func:`cosine_near_duplicates` — embedding near-dup pairs above a
+  cosine threshold within LSH buckets.
+
+No Python UDFs anywhere — `aggregate`/`zip_with`/`transform` are
+Catalyst expressions that run codegen'd in the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def brute_force_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id:
+    ``(query_id, rank, vec_id, cosine)``; deterministic tie-break on
+    (cosine desc, vec_id asc)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    queries = base.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, table_idx: int = 0) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 —
+    reproducible across engines and runs (no RNG state)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table_idx}|{plane_idx}|{d}".encode()).hexdigest()
+        out.append((int(h[:12], 16) / float(0xFFFFFFFFFFFF)) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 8, table_idx: int = 0) -> F.Column:
+    """Sign-LSH bucket id (0..2^n_planes-1) of an embedding column."""
+    bucket = F.lit(0)
+    v = _as_double(vec_col)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, table_idx)])
+        bucket = bucket + F.when(_dot(v, plane) >= 0, F.lit(2**p)).otherwise(0)
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: candidates are the
+    union over ``n_tables`` hash tables of same-bucket vectors
+    (OR-amplification: recall ≈ 1-(1-p^planes)^tables), exact cosine
+    re-rank inside. Same output schema as the brute-force baseline.
+
+    Scale shape: each vector carries ``n_tables`` (table, bucket)
+    keys; the candidate join is an equi-join on that key — never a
+    cross join. At 100 TB the base side is bucketed storage keyed by
+    (table, bucket)."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col(vec_col), dim, n_planes, table_idx=t).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.explode(buckets).alias("tb"),
+    ).select("vec_id", "v", "tb.t", "tb.b")
+    queries = base.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "t",
+        "b",
+    )
+    cands = (
+        base.join(F.broadcast(queries), ["t", "b"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs ``(a, b, cosine)`` with cosine ≥
+    threshold, candidate-limited to shared LSH buckets."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,127 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cminer_spark.pipeline import (
+    brute_force_cosine_topk,
+    cosine_near_duplicates,
+    exact_duplicates,
+    lsh_bucketed_topk,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cminer_spark.pipeline.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # inject known exact + near duplicates
+    d0 = base.where(F.col("doc_id") == 0).select("doc_id", "text")
+    dup = d0.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    near = d0.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tweak")).alias("text"),
+    )
+    return base.select("doc_id", "text").union(dup).union(near).persist()
+
+
+def test_exact_dedup_finds_injected_duplicate(spark, docs):
+    groups = exact_duplicates(docs)
+    dupes = groups.where(F.col("n_copies") > 1).collect()
+    assert len(dupes) == 1
+    assert dupes[0].canonical_id == 0
+    assert dupes[0].doc_ids == [0, 10_000]
+
+
+def test_ngram_jaccard_finds_near_duplicate(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 10_000) in got  # exact dup → jaccard 1.0
+    assert (0, 20_000) in got  # near dup
+
+
+def test_minhash_lsh_catches_what_jaccard_catches(spark, docs):
+    strong = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cands = {(r.a, r.b) for r in minhash_lsh_candidates(docs).collect()}
+    # LSH with 4 bands of 4 rows catches ~all pairs at jaccard≥0.9
+    assert strong <= cands
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[0] == sh[10_000]  # identical text → identical simhash
+    ham_near = bin(sh[0] ^ sh[20_000]).count("1")
+    other = docs.where(~F.col("doc_id").isin([0, 10_000, 20_000])).first().doc_id
+    ham_far = bin(sh[0] ^ sh[other]).count("1")
+    assert ham_near < ham_far
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = brute_force_cosine_topk(embs, qids, k=5)
+    approx = lsh_bucketed_topk(embs, qids, k=5, n_planes=4, n_tables=16)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # multi-table OR-amplification: 16 tables of 4 planes
+    assert recall >= 0.8
+    # buckets must at least contain each query's own-bucket matches
+    assert all(r.cosine <= 1.000001 for r in approx.collect())
+
+
+def test_cosine_near_duplicates_self_consistency(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # duplicate vec 0 under a new id → must be flagged at ~1.0
+    dup = embs.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = cosine_near_duplicates(embs.union(dup), threshold=0.999)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 10_000) in got
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synth_media(spark, n=60)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-6
+    # determinism across partitioning
+    again = {
+        r.media_id: tuple(r.feature)
+        for r in extract_features(media, fake=True, partitions=7).collect()
+    }
+    assert {r.media_id: tuple(r.feature) for r in rows} == again
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = synth_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=500)
+    rows = plan.collect()
+    assert all(r.sample_ms % 500 == 0 for r in rows)
+    kinds = synth_media(spark, n=9).where(F.col("kind") == "video").count()
+    assert plan.select("media_id").distinct().count() == kinds
