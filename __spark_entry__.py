@@ -129,6 +129,33 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_match_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subgraph matcher (J4/J5 join pipeline): turn that replies AND
+    invokes a tool — 2-edge pattern, all injective embeddings."""
+    from cminer_spark.operators.matching import Pattern, match
+
+    p = (
+        Pattern()
+        .add_edge("a", "b", "replies_to")
+        .add_edge("a", "t", "invokes")
+    )
+    emb = match(p, gate.gate_edges_df(spark, sf_dir))
+    return emb.select("n_a", "n_b", "n_t")
+
+
+def _q_match_path3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-node reply chain pattern via the matcher."""
+    from cminer_spark.operators.matching import Pattern, match
+
+    p = (
+        Pattern()
+        .add_edge("a", "b", "replies_to")
+        .add_edge("b", "c", "replies_to")
+    )
+    emb = match(p, gate.gate_edges_df(spark, sf_dir))
+    return emb.select("n_a", "n_b", "n_c")
+
+
 def _q_support_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 support aggregate (reference CMiner.py:174-227): group key ≈
     extension code, support = #distinct transactions, HAVING minsup."""
@@ -194,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "jaccard_similarity": _q_jaccard,
+        "match_wedge": _q_match_wedge,
+        "match_path3": _q_match_path3,
         "support_count": _q_support_count,
         "label_catalog": _q_label_catalog,
         "tpch_q1": _q_tpch_q1,
@@ -212,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
+        "match_wedge": gate.match_wedge_oracle_sql(),
+        "match_path3": gate.match_path3_oracle_sql(),
         "jaccard_similarity": gate.jaccard_oracle_sql(),
         "support_count": """
             SELECT l_returnflag, l_linestatus,

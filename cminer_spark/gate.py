@@ -250,6 +250,30 @@ FROM tr WHERE tool IS NOT NULL"""
     )
 
 
+def match_wedge_oracle_sql() -> str:
+    """Pattern a-replies_to->b, a-invokes->t (injective nodes; the two
+    query edges have different types so edge injectivity is free)."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """
+SELECT e1.src AS n_a, e1.dst AS n_b, e2.dst AS n_t
+FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+WHERE e1.type = 'replies_to' AND e2.type = 'invokes'
+  AND e1.dst <> e2.dst AND e1.src <> e1.dst AND e1.src <> e2.dst"""
+    )
+
+
+def match_path3_oracle_sql() -> str:
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """
+SELECT e1.src AS n_a, e1.dst AS n_b, e2.dst AS n_c
+FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+WHERE e1.type = 'replies_to' AND e2.type = 'replies_to'
+  AND e1.src <> e2.dst AND e1.src <> e1.dst AND e2.src <> e2.dst"""
+    )
+
+
 def jaccard_oracle_sql() -> str:
     return _materialize(
         f"WITH {EDGES_CTE}"

@@ -1,0 +1,263 @@
+"""Subgraph pattern matching as a generated multi-way join pipeline.
+
+The reference's matcher (``/root/reference/src/CMiner/MultiGraphMatch.py``)
+is a backtracking engine over per-edge candidate lists with bitmap
+pruning (J1/J2), degree-based domain filtering (J3) and injectivity
+checks (J4/J5, SURVEY §2.3). In Spark the same semantics are one
+LEFT-DEEP JOIN PIPELINE: each query edge joins the
+embeddings-so-far with the (pre-filtered) target edge table; Catalyst
+plans the hash joins, AQE handles skew — the manual posting-list
+machinery of the reference is subsumed by the join itself (SURVEY §4).
+
+Semantics mirrored from the reference:
+
+* node-label containment — a target node must carry ALL query node
+  labels (``MultiGraphMatch.py:214-223``, ``Graph.py:87-88``);
+* edge label equality with ``""`` = wildcard
+  (``MultiGraphMatch.py:336-340``, ``Graph.py:18``);
+* injective embeddings — no target node reused across query nodes, no
+  target edge reused across query edges (``MultiGraphMatch.py:289-301``);
+* multigraph identity triple (src, dst, key) (``Graph.py:44-54``);
+* transactional DBs — when a ``graph_id`` column is present every
+  join stays within one graph, so one ``match`` call embeds the
+  pattern in EVERY graph of the DB at once (the reference loops
+  graphs one by one, ``CMiner.py:477-488``).
+
+Join ordering is the reference's greedy connected-first heuristic
+(``Ordering.py:49-87``) simplified: always extend from already-bound
+endpoints (cf-maximal), most-selective first edge — at 100 TB scale
+the bound-endpoint rule is what keeps every step an equi-join instead
+of a cross product.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WILDCARD = ""  # reference NULL_LABEL (Graph.py:18)
+
+
+@dataclass(frozen=True)
+class PatternEdge:
+    src: str
+    dst: str
+    type: str = WILDCARD
+
+
+@dataclass
+class Pattern:
+    """Tiny query graph: node id → required labels, plus typed edges."""
+
+    nodes: dict[str, list[str]] = field(default_factory=dict)
+    edges: list[PatternEdge] = field(default_factory=list)
+
+    def add_node(self, node_id: str, labels: list[str] | None = None) -> "Pattern":
+        self.nodes[node_id] = sorted(labels or [])
+        return self
+
+    def add_edge(self, src: str, dst: str, type: str = WILDCARD) -> "Pattern":
+        for n in (src, dst):
+            if n not in self.nodes:
+                self.nodes[n] = []
+        self.edges.append(PatternEdge(src, dst, type))
+        return self
+
+
+def _order_edges(pattern: Pattern) -> list[PatternEdge]:
+    """Greedy connected-first ordering (reference Ordering.py:49-87):
+    start from the edge with the most label constraints, then always
+    pick an edge sharing a bound endpoint, preferring more constraints."""
+
+    def selectivity(e: PatternEdge) -> int:
+        s = len(pattern.nodes[e.src]) + len(pattern.nodes[e.dst])
+        return s + (2 if e.type != WILDCARD else 0)
+
+    remaining = list(pattern.edges)
+    if not remaining:
+        return []
+    first = max(remaining, key=selectivity)
+    order = [first]
+    remaining.remove(first)
+    bound = {first.src, first.dst}
+    while remaining:
+        connected = [e for e in remaining if e.src in bound or e.dst in bound]
+        pick = max(connected or remaining, key=selectivity)
+        order.append(pick)
+        remaining.remove(pick)
+        bound.update((pick.src, pick.dst))
+    return order
+
+
+def _label_filter(vertices: DataFrame, labels: list[str]) -> DataFrame:
+    if not labels:
+        return vertices
+    req = F.array(*[F.lit(x) for x in labels])
+    return vertices.where(F.size(F.array_except(req, F.col("labels"))) == 0)
+
+
+def match(
+    pattern: Pattern,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    graph_col: str | None = None,
+    include_edges: bool = False,
+) -> DataFrame:
+    """All injective embeddings of ``pattern``.
+
+    ``edges``: (src, dst, type[, key][, graph_id]); ``vertices``:
+    (v_id, labels[, graph_id]) — required only when the pattern
+    constrains node labels. Output: one row per embedding with a
+    ``n_<node>`` column per pattern node (+ ``graph_id``).
+    ``include_edges=True`` keeps one ``e_<i>`` (src,dst,key) struct
+    per query edge — full multigraph Mappings (reference
+    ``MultiGraphMatch.py:7-15`` node_mapping + edge_mapping); the
+    default projects distinct node embeddings.
+    """
+    if graph_col is None and "graph_id" in edges.columns:
+        graph_col = "graph_id"
+    key = F.col("key") if "key" in edges.columns else F.lit(0)
+    base = edges.select(
+        "src",
+        "dst",
+        F.col("type"),
+        key.alias("key"),
+        *([F.col(graph_col).alias("_g")] if graph_col else []),
+    )
+
+    def candidates(qe: PatternEdge, idx: int) -> DataFrame:
+        c = base
+        if qe.type != WILDCARD:
+            c = c.where(F.col("type") == qe.type)
+        if qe.src == qe.dst:  # self-loop: one binding column
+            c = c.where(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(f"n_{qe.src}"),
+                F.struct("src", "dst", "key").alias(f"e_{idx}"),
+                *([F.col("_g")] if graph_col else []),
+            )
+        else:
+            c = c.select(
+                F.col("src").alias(f"n_{qe.src}"),
+                F.col("dst").alias(f"n_{qe.dst}"),
+                F.struct("src", "dst", "key").alias(f"e_{idx}"),
+                *([F.col("_g")] if graph_col else []),
+            )
+        # node-label containment via semi-joins against the filtered
+        # vertex sets (F2; the reference's bitmap prefilter J1/J2
+        # collapses into these label-selective scans)
+        if vertices is not None:
+            for node in (qe.src, qe.dst):
+                labels = pattern.nodes.get(node) or []
+                if labels:
+                    vs = _label_filter(vertices, labels).select(
+                        F.col("v_id").alias(f"n_{node}"),
+                        *(
+                            [F.col(graph_col).alias("_g")]
+                            if graph_col and graph_col in vertices.columns
+                            else []
+                        ),
+                    )
+                    on = [f"n_{node}"] + (
+                        ["_g"] if graph_col and "_g" in vs.columns else []
+                    )
+                    c = c.join(vs, on, "left_semi")
+        return c
+
+    order = _order_edges(pattern)
+    if not order:
+        # node-only pattern: bind nodes from the vertex table (J8)
+        if vertices is None:
+            raise ValueError("node-only pattern needs a vertices frame")
+        emb = None
+        for node, labels in pattern.nodes.items():
+            vs = _label_filter(vertices, labels).select(
+                F.col("v_id").alias(f"n_{node}"),
+                *(
+                    [F.col(graph_col).alias("_g")]
+                    if graph_col and graph_col in vertices.columns
+                    else []
+                ),
+            )
+            if emb is None:
+                emb = vs
+            else:
+                emb = emb.join(vs, ["_g"] if graph_col else None, "inner") if (
+                    graph_col
+                ) else emb.crossJoin(vs)
+                prev_nodes = [c for c in emb.columns if c.startswith("n_") and c != f"n_{node}"]
+                for p in prev_nodes:
+                    emb = emb.where(F.col(p) != F.col(f"n_{node}"))
+        return _finalize(emb, pattern, graph_col, 0, include_edges=False)
+
+    emb = candidates(order[0], 0)
+    bound_nodes = {order[0].src, order[0].dst}
+    for idx, qe in enumerate(order[1:], start=1):
+        c = candidates(qe, idx)
+        join_keys = sorted(
+            {f"n_{n}" for n in (qe.src, qe.dst) if n in bound_nodes}
+        )
+        if graph_col:
+            join_keys.append("_g")
+        if join_keys:
+            emb = emb.join(c, join_keys, "inner")
+        else:  # disconnected component of the pattern
+            emb = emb.crossJoin(c)
+        # injectivity: new node ≠ every previously bound node (J4)
+        for n in (qe.src, qe.dst):
+            if n not in bound_nodes:
+                for b in bound_nodes:
+                    emb = emb.where(F.col(f"n_{n}") != F.col(f"n_{b}"))
+                bound_nodes.add(n)
+        # edge injectivity: new edge ≠ every previously bound edge
+        for prev in range(idx):
+            emb = emb.where(F.col(f"e_{idx}") != F.col(f"e_{prev}"))
+
+    # isolated pattern nodes (no incident edges)
+    isolated = [n for n in pattern.nodes if n not in bound_nodes]
+    for n in isolated:
+        if vertices is None:
+            raise ValueError(f"isolated pattern node {n!r} needs a vertices frame")
+        vs = _label_filter(vertices, pattern.nodes.get(n) or []).select(
+            F.col("v_id").alias(f"n_{n}"),
+            *(
+                [F.col(graph_col).alias("_g")]
+                if graph_col and graph_col in vertices.columns
+                else []
+            ),
+        )
+        emb = emb.join(vs, ["_g"] if graph_col else None, "inner") if graph_col else emb.crossJoin(vs)
+        for b in bound_nodes:
+            emb = emb.where(F.col(f"n_{n}") != F.col(f"n_{b}"))
+        bound_nodes.add(n)
+
+    return _finalize(emb, pattern, graph_col, len(order), include_edges)
+
+
+def _finalize(
+    emb: DataFrame,
+    pattern: Pattern,
+    graph_col: str | None,
+    n_edges: int,
+    include_edges: bool,
+) -> DataFrame:
+    cols = [F.col(f"n_{n}") for n in pattern.nodes]
+    if graph_col:
+        cols = [F.col("_g").alias(graph_col)] + cols
+    if include_edges:
+        cols += [F.col(f"e_{i}") for i in range(n_edges)]
+        return emb.select(*cols)
+    return emb.select(*cols).distinct()
+
+
+def support(
+    embeddings: DataFrame, graph_col: str = "graph_id", min_support: int | None = None
+) -> DataFrame:
+    """Transactional support = #distinct graphs containing ≥1 embedding
+    (reference PatternMappings.support, CMiner.py:251-255; A1 HAVING
+    filter CMiner.py:205-227)."""
+    agg = embeddings.agg(F.countDistinct(graph_col).alias("support"))
+    if min_support is not None:
+        agg = agg.where(F.col("support") >= min_support)
+    return agg

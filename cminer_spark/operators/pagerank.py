@@ -2,7 +2,7 @@
 
 Semantics match the standard power iteration with uniform
 personalization, uniform dangling redistribution and L1 convergence
-(the networkx oracle the tests compare against, mirroring the
+(the numpy/networkx oracle the tests compare against, mirroring the
 reference's networkx-as-oracle strategy,
 ``/root/reference/test/checker.py:77-79``):
 
@@ -12,19 +12,21 @@ reference's networkx-as-oracle strategy,
 
 Scale design (SURVEY §2.7, §4):
 
-* adjacency is normalized once (parallel edges of the multigraph sum
-  their weights) and persisted — each superstep only shuffles the
-  rank vector, never rebuilds the graph;
-* hot destination vertices (hub tools) are handled with explicit
-  two-stage salted aggregation: pre-aggregate on ``(dst,
-  salt=hash(src)%k)`` then finalize on ``dst`` — partial map-side
-  aggregation plus salting keeps any single reducer key bounded even
-  at 10^12 edges;
-* exactly ONE executor→driver crossing per superstep: a single
-  aggregate returning (L1 delta, dangling mass of the new vector);
+* the normalized adjacency (parallel multigraph edges sum weights) is
+  built ONCE, hash-partitioned on ``src`` to the shuffle partition
+  count and persisted — each superstep shuffles only the rank vector,
+  never the graph (on a cluster this is a bucketed Iceberg/parquet
+  table, same plan shape);
+* hot destinations (hub tools) get explicit two-stage salted
+  aggregation — pre-aggregate on ``(dst, hash(src)%k)``, finalize on
+  ``dst`` — bounding any single reducer key even at 10^12 edges;
+* dangling mass is a 1-row broadcast cross join computed in-plan, so
+  a fixed-k run has ZERO per-superstep driver crossings beyond the
+  lineage-truncation materialization; convergence-driven runs add
+  exactly one scalar aggregate (the L1 delta) per superstep;
 * per-superstep state goes through
   :class:`~cminer_spark.plans.checkpoint.SuperstepCheckpoint` when a
-  directory is given (durable lineage + exact resume), else
+  directory is given (durable lineage + exact resume), else an eager
   ``localCheckpoint`` — either way the iterative plan is truncated
   every superstep (SURVEY §7.3 lineage blowup).
 """
@@ -36,7 +38,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cminer_spark.plans.checkpoint import SuperstepCheckpoint, truncate_lineage
+from cminer_spark.plans.checkpoint import (
+    EphemeralStateStore,
+    SuperstepCheckpoint,
+    truncate_lineage,
+)
 
 
 @dataclass
@@ -48,6 +54,8 @@ class PageRankInfo:
     n_edges: int = 0
     resumed_from: int | None = None
     salted: bool = False
+    setup_sec: float = 0.0
+    superstep_secs: list = field(default_factory=list)
 
 
 def pagerank(
@@ -64,24 +72,34 @@ def pagerank(
 
     ``vertices`` (optional, column ``v_id``) adds isolated vertices.
     ``salt_partitions``: None = auto-enable when a hub vertex is
-    detected; 0/1 = off; k>1 = two-stage salted aggregation with k
-    salts.
+    detected; 0/1 = off; k>1 = two-stage salted aggregation.
+    ``tol <= 0`` runs exactly ``max_iter`` supersteps with no
+    convergence aggregate (fixed-k mode).
     Returns ``(ranks(v_id, rank), info)``.
     """
+    import time
+
+    t_setup = time.time()
     spark = edges.sparkSession
     info = PageRankInfo()
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     w = F.col(weight_col) if weight_col in edges.columns else F.lit(1.0)
     pairs = edges.select("src", "dst", w.alias("w"))
 
-    # Normalized adjacency: parallel edges collapse by summed weight
-    # (multigraph semantics — networkx builds the same stochastic
-    # matrix for MultiDiGraph).
+    # Normalized adjacency, built once: parallel edges collapse by
+    # summed weight (multigraph stochastic matrix). Hash-partitioned on
+    # src so per-superstep joins shuffle only the rank side.
     adj_w = pairs.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     out_w = adj_w.groupBy("src").agg(F.sum("w").alias("out_w"))
     adj = (
         adj_w.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .select(
+            "src",
+            "dst",
+            (F.col("w") / F.col("out_w")).alias("p"),
+        )
+        .repartition(shuffle_parts, "src")
         .persist()
     )
     info.n_edges = adj.count()
@@ -91,7 +109,6 @@ def pagerank(
     )
     if vertices is not None:
         verts = verts.union(vertices.select("v_id"))
-    # dangling flag: no out-edges
     verts = (
         verts.distinct()
         .join(
@@ -105,52 +122,64 @@ def pagerank(
     n = verts.count()
     info.n_vertices = n
     if n == 0:
+        adj.unpersist()
+        verts.unpersist()
         return spark.createDataFrame([], "v_id long, rank double"), info
 
     # Salting decision: a destination is "hot" when its in-degree
-    # dwarfs the average per-shuffle-partition share.
+    # dwarfs the average per-shuffle-partition share (partial map-side
+    # aggregation already bounds per-mapper load; salting bounds the
+    # reducer key).
     if salt_partitions is None:
-        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         hot_bar = max(10 * info.n_edges // max(shuffle_parts, 1), 1000)
         max_in = adj.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
         salt_partitions = 16 if (max_in or 0) > hot_bar else 1
     info.salted = salt_partitions > 1
+    if info.salted:
+        adj_salted = adj.withColumn(
+            "salt", F.pmod(F.xxhash64("src"), F.lit(salt_partitions))
+        ).persist()
+        adj_salted.count()
+        adj.unpersist()
+        adj = adj_salted
 
+    # state: (v_id, dangling, rank)
     start_iter = 0
-    dangling_mass = None
-    ranks = verts.select("v_id", F.lit(1.0 / n).alias("rank"))
+    state = verts.select("v_id", "dangling", F.lit(1.0 / n).alias("rank"))
     if checkpoint is not None:
         resume = checkpoint.latest()
         if resume is not None:
-            start_iter, ranks, meta = resume
+            start_iter, state, _meta = resume
             info.resumed_from = start_iter
-            dangling_mass = meta["metrics"].get("dangling_mass")
+    state = truncate_lineage(state)
 
-    if dangling_mass is None:
-        n_dangling = verts.where("dangling").count()
-        dangling_mass = n_dangling / n
-
-    ranks_src = ranks
+    check_convergence = tol > 0.0
+    info.setup_sec = round(time.time() - t_setup, 3)
+    store = EphemeralStateStore(spark, "pagerank") if checkpoint is None else None
     for it in range(start_iter + 1, max_iter + 1):
+        t_step = time.time()
         contribs = adj.join(
-            ranks_src.select(F.col("v_id").alias("src"), "rank"), "src"
-        ).select(
-            "dst",
-            (F.col("p") * F.col("rank")).alias("c"),
-            F.pmod(F.xxhash64("src"), F.lit(salt_partitions)).alias("salt"),
+            state.select(F.col("v_id").alias("src"), "rank"), "src"
         )
-        if salt_partitions > 1:
+        if info.salted:
             sums = (
                 contribs.groupBy("dst", "salt")
-                .agg(F.sum("c").alias("c"))
+                .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_mass"))
             )
         else:
-            sums = contribs.groupBy("dst").agg(F.sum("c").alias("in_mass"))
+            sums = contribs.groupBy("dst").agg(
+                F.sum(F.col("p") * F.col("rank")).alias("in_mass")
+            )
 
-        new_ranks = (
-            verts.join(sums.withColumnRenamed("dst", "v_id"), "v_id", "left")
+        # dangling mass: 1-row broadcast cross join, computed in-plan
+        dangling_df = state.where("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        new_state = (
+            state.join(sums.withColumnRenamed("dst", "v_id"), "v_id", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "v_id",
                 "dangling",
@@ -159,44 +188,44 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce("in_mass", F.lit(0.0))
-                        + F.lit(dangling_mass / n)
+                        + F.col("dmass") / n
                     )
                 ).alias("rank"),
+                F.col("rank").alias("rank_prev"),
             )
         )
 
-        # Single driver crossing: L1 delta + next iteration's dangling
-        # mass in one aggregate.
-        joined = new_ranks.join(
-            ranks_src.select("v_id", F.col("rank").alias("rank_prev")), "v_id"
-        )
-        agg = joined.agg(
-            F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("delta"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias(
-                "dangling_mass"
-            ),
-        ).collect()[0]
-        delta = float(agg["delta"])
-        dangling_mass = float(agg["dangling_mass"])
-        info.deltas.append(delta)
-        info.iterations = it
-
-        state = new_ranks.select("v_id", "rank")
-        metrics = {
-            "l1_delta": delta,
-            "dangling_mass": dangling_mass,
-            "tol": tol,
-            "damping": damping,
-        }
+        # Truncate lineage first; the optional convergence aggregate
+        # then reads the materialized blocks instead of recomputing.
         if checkpoint is not None:
-            ranks_src = checkpoint.save(it, state, metrics)
+            saved = checkpoint.save(
+                it, new_state, {"tol": tol, "damping": damping}
+            )
         else:
-            ranks_src = truncate_lineage(state)
+            saved = store.save(new_state, it)
 
-        if delta < n * tol:
+        info.iterations = it
+        if check_convergence:
+            delta = float(
+                saved.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("d")
+                ).collect()[0]["d"]
+            )
+            info.deltas.append(delta)
+            if checkpoint is not None:
+                checkpoint.update_metrics(it, {"l1_delta": delta})
+        state = saved.select("v_id", "dangling", "rank")
+        info.superstep_secs.append(round(time.time() - t_step, 3))
+
+        if check_convergence and delta < n * tol:
             info.converged = True
             break
 
     adj.unpersist()
     verts.unpersist()
-    return ranks_src.select("v_id", "rank"), info
+    # Detach the result from the ephemeral store before deleting it.
+    result = state.select("v_id", "rank")
+    if store is not None and info.iterations > start_iter:
+        result = truncate_lineage(result)
+        store.close()
+    return result, info

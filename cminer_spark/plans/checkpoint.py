@@ -105,6 +105,18 @@ class SuperstepCheckpoint:
         os.replace(tmp, self._meta_path(i))  # commit point
         return back
 
+    def update_metrics(self, i: int, extra: dict) -> None:
+        """Merge extra metrics (e.g. the convergence delta computed
+        after the state write) into a committed superstep's meta."""
+        path = self._meta_path(i)
+        with open(path) as f:
+            meta = json.load(f)
+        meta["metrics"].update(extra)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+
     def clear(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
         os.makedirs(os.path.join(self.dir, "meta"), exist_ok=True)
@@ -115,3 +127,37 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     ``localCheckpoint`` keeps iterative plans bounded without a
     durable store (durable runs use :class:`SuperstepCheckpoint`)."""
     return df.localCheckpoint(eager=True)
+
+
+class EphemeralStateStore:
+    """Parquet-backed double-buffer for iterative state.
+
+    ``localCheckpoint`` blocks accumulate across supersteps (the
+    ContextCleaner only frees them on JVM GC of the RDD handle), which
+    measured as a 2-4x superstep slowdown by iteration 10; carrying
+    the logical plan instead (persist-only) blows up Catalyst
+    re-analysis time. A parquet write+read per superstep gives a flat
+    plan AND bounded storage: only the last two iterations exist on
+    disk. This is the same I/O pattern the durable
+    :class:`SuperstepCheckpoint` uses — on a cluster both land on
+    object storage.
+    """
+
+    def __init__(self, spark: SparkSession, tag: str = "state"):
+        import tempfile
+
+        self.spark = spark
+        self.dir = tempfile.mkdtemp(prefix=f"cminer_{tag}_")
+        self._kept: list[str] = []
+
+    def save(self, df: DataFrame, it: int) -> DataFrame:
+        path = os.path.join(self.dir, f"iter={it}")
+        df.write.mode("overwrite").parquet(path)
+        back = self.spark.read.parquet(path)
+        self._kept.append(path)
+        while len(self._kept) > 2:
+            shutil.rmtree(self._kept.pop(0), ignore_errors=True)
+        return back
+
+    def close(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)

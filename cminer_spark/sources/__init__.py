@@ -1,0 +1,14 @@
+from cminer_spark.sources.data_format import (
+    read_data_db,
+    write_patterns_text,
+    parse_pattern_text,
+)
+from cminer_spark.sources.graph_loaders import read_csv_graph_db, read_json_graph
+
+__all__ = [
+    "read_data_db",
+    "write_patterns_text",
+    "parse_pattern_text",
+    "read_csv_graph_db",
+    "read_json_graph",
+]

@@ -1,0 +1,144 @@
+"""gSpan-style ``.data`` transactional graph DB source + result sink.
+
+Format parity with the reference (parser
+``/root/reference/src/NetworkX/NetworksLoading.py:81-124``; writer
+``/root/reference/src/CMiner/CMiner.py:418-446``):
+
+* ``t # <idx> [name]`` starts a graph (transaction);
+* ``v <id> <label> [label...]`` — node, multi-label;
+* ``e <src> <dst> [label]`` — directed multigraph edge, missing label
+  = "" (wildcard NULL_LABEL, ``Graph.py:18``);
+* result blocks add ``s <support>``, ``f <frequency>`` and
+  ``x <graph> <count> ...`` info lines.
+
+Implemented as a distributed scan: ``spark.read.text`` + a window
+that assigns each line to the most recent ``t`` header — no driver
+parsing, so a 100 TB ``.data`` dump loads like any other table. The
+graph-id assignment orders lines by (file, byte-ish line index) via
+``monotonically_increasing_id`` over each file partition — correct
+because text-file splits preserve line order within a file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_data_db(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read a ``.data`` DB → (vertices, edges).
+
+    vertices: (graph_id string, v_id long, labels array<string>)
+    edges:    (graph_id string, src long, dst long, key int, type string)
+    """
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("pos"),
+            F.trim(F.col("value")).alias("line"),
+        )
+        .where(F.col("line") != "")
+        .withColumn("toks", F.split("line", " +"))
+        .withColumn("kind", F.get("toks", 0))
+    )
+    w = Window.partitionBy("file").orderBy("pos")
+    tagged = lines.withColumn(
+        "graph_id",
+        F.last(
+            F.when(
+                F.col("kind") == "t",
+                F.coalesce(F.get("toks", 3), F.get("toks", 2)),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+
+    vertices = (
+        tagged.where(F.col("kind") == "v")
+        .select(
+            "graph_id",
+            F.get("toks", 1).cast("long").alias("v_id"),
+            F.sort_array(F.slice("toks", 3, 1000)).alias("labels"),
+        )
+    )
+    edge_rows = tagged.where(F.col("kind") == "e").select(
+        "graph_id",
+        F.get("toks", 1).cast("long").alias("src"),
+        F.get("toks", 2).cast("long").alias("dst"),
+        F.coalesce(F.get("toks", 3), F.lit("")).alias("type"),
+        "pos",
+    )
+    # multigraph key: 0-based per (graph, src, dst) in file order
+    # (reference key allocation Graph.py:44-49)
+    kw = Window.partitionBy("graph_id", "src", "dst").orderBy("pos")
+    edges = edge_rows.withColumn(
+        "key", (F.row_number().over(kw) - 1).cast("int")
+    ).select("graph_id", "src", "dst", "key", "type")
+    return vertices, edges
+
+
+def parse_pattern_text(text: str):
+    """Parse ``-``-separated ``v``/``e`` pattern blocks (reference
+    ``src/CMiner/main.py:6-28``) into matcher Patterns — driver-side,
+    patterns are tiny."""
+    from cminer_spark.operators.matching import Pattern
+
+    patterns = []
+    for block in text.split("-"):
+        lines = [l.strip() for l in block.strip().splitlines() if l.strip()]
+        if not lines:
+            continue
+        p = Pattern()
+        for line in lines:
+            toks = line.split()
+            if toks[0] == "v":
+                p.add_node(toks[1], toks[2:])
+            elif toks[0] == "e":
+                p.add_edge(toks[1], toks[2], toks[3] if len(toks) > 3 else "")
+        patterns.append(p)
+    return patterns
+
+
+def write_patterns_text(
+    patterns_df: DataFrame, path: str | None = None
+) -> DataFrame:
+    """Serialize mined patterns to the reference's ``t/v/e/s/f`` block
+    text (result sink, CMiner.py:418-446 / :503-516).
+
+    ``patterns_df``: (pattern_id, vertices array<struct<v_id,labels>>,
+    edges array<struct<src,dst,type>>, support, frequency).
+    Returns a one-column text DataFrame; writes it when ``path`` given.
+    """
+    v_lines = F.array_join(
+        F.transform(
+            "vertices",
+            lambda v: F.concat_ws(
+                " ", F.lit("v"), v["v_id"], F.array_join(v["labels"], " ")
+            ),
+        ),
+        "\n",
+    )
+    e_lines = F.array_join(
+        F.transform(
+            "edges",
+            lambda e: F.concat_ws(
+                " ", F.lit("e"), e["src"], e["dst"], e["type"]
+            ),
+        ),
+        "\n",
+    )
+    block = F.concat_ws(
+        "\n",
+        F.concat(F.lit("t # "), F.col("pattern_id").cast("string")),
+        v_lines,
+        e_lines,
+        F.concat(F.lit("s "), F.col("support").cast("string")),
+        F.concat(F.lit("f "), F.col("frequency").cast("string")),
+    )
+    out = patterns_df.select(block.alias("value"))
+    if path is not None:
+        out.coalesce(1).write.mode("overwrite").text(path)
+    return out

@@ -1,0 +1,117 @@
+"""CSV-directory and JSON node-link graph sources.
+
+Parity with the reference loaders:
+
+* CSV layout (``/root/reference/src/NetworkX/NetworksLoading.py:127-164``,
+  layout doc ``src/NetworkX/README.md:9-66``): one directory per
+  network containing ``nodes/*.csv`` (id, labels joined by a
+  separator, extra props) and ``edges/*.csv`` (source, target, type,
+  extra props);
+* JSON: networkx node-link documents
+  (``NetworksLoading.py:173-178``).
+
+Both return the engine's table encoding: vertices ``(graph_id, v_id,
+labels, props)`` / edges ``(graph_id, src, dst, key, type, props)``.
+Extra columns become a ``map<string,string>`` props column (the
+reference carries untyped attr dicts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _props_map(df: DataFrame, exclude: list[str]) -> F.Column:
+    extra = [c for c in df.columns if c not in exclude]
+    if not extra:
+        return F.create_map().cast("map<string,string>")
+    pairs: list[F.Column] = []
+    for c in extra:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    return F.create_map(*pairs)
+
+
+def read_csv_graph_db(
+    spark: SparkSession,
+    root: str,
+    sep_label: str = " ",
+    graphs: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Read ``<root>/<network>/nodes|edges/*.csv`` directories."""
+    names = graphs or sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+    )
+    v_parts, e_parts = [], []
+    for name in names:
+        nodes = spark.read.csv(
+            os.path.join(root, name, "nodes"), header=True, inferSchema=False
+        )
+        v_parts.append(
+            nodes.select(
+                F.lit(name).alias("graph_id"),
+                F.col("id").cast("long").alias("v_id"),
+                F.sort_array(
+                    F.filter(
+                        F.split(F.coalesce(F.col("labels"), F.lit("")), sep_label),
+                        lambda x: x != "",
+                    )
+                ).alias("labels"),
+                _props_map(nodes, ["id", "labels"]).alias("props"),
+            )
+        )
+        edges = spark.read.csv(
+            os.path.join(root, name, "edges"), header=True, inferSchema=False
+        )
+        kw = Window.partitionBy("source", "target").orderBy(F.lit(1))
+        e_parts.append(
+            edges.withColumn("key", (F.row_number().over(kw) - 1).cast("int"))
+            .select(
+                F.lit(name).alias("graph_id"),
+                F.col("source").cast("long").alias("src"),
+                F.col("target").cast("long").alias("dst"),
+                "key",
+                F.coalesce(F.col("type"), F.lit("")).alias("type"),
+                _props_map(edges, ["source", "target", "type"]).alias("props"),
+            )
+        )
+    v = v_parts[0]
+    for x in v_parts[1:]:
+        v = v.unionByName(x)
+    e = e_parts[0]
+    for x in e_parts[1:]:
+        e = e.unionByName(x)
+    return v, e
+
+
+def read_json_graph(
+    spark: SparkSession, path: str, graph_id: str = "g0"
+) -> tuple[DataFrame, DataFrame]:
+    """Read a networkx node-link JSON document."""
+    doc = spark.read.option("multiLine", True).json(path)
+    nodes = doc.select(F.explode("nodes").alias("n")).select(
+        F.lit(graph_id).alias("graph_id"),
+        F.col("n.id").cast("long").alias("v_id"),
+        F.sort_array(
+            F.coalesce(F.col("n.labels"), F.array().cast("array<string>"))
+        ).alias("labels"),
+    )
+    links_col = "links" if "links" in doc.columns else "edges"
+    kw = Window.partitionBy("src", "dst").orderBy(F.lit(1))
+    edges = (
+        doc.select(F.explode(links_col).alias("e"))
+        .select(
+            F.lit(graph_id).alias("graph_id"),
+            F.col("e.source").cast("long").alias("src"),
+            F.col("e.target").cast("long").alias("dst"),
+            F.coalesce(F.col("e.type"), F.lit("")).alias("type"),
+        )
+        .withColumn("key", (F.row_number().over(kw) - 1).cast("int"))
+        .select("graph_id", "src", "dst", "key", "type")
+    )
+    return nodes, edges

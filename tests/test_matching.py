@@ -1,0 +1,195 @@
+"""Subgraph matcher vs a brute-force oracle (the reference verifies
+its matcher the same way — independent recomputation,
+/root/reference/test/checker.py:75-89)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from cminer_spark.operators.matching import Pattern, match, support
+
+
+# -- brute-force oracle -------------------------------------------------
+
+def brute_force_embeddings(pattern: Pattern, nodes, edges):
+    """All injective node mappings such that every pattern edge maps to
+    a DISTINCT target edge with matching type ('' = wildcard).
+
+    nodes: {node_id: labels}; edges: [(src, dst, key, type)].
+    Returns set of tuples of target ids in pattern-node order.
+    """
+    pat_nodes = list(pattern.nodes)
+    out = set()
+    for perm in itertools.permutations(nodes, len(pat_nodes)):
+        mapping = dict(zip(pat_nodes, perm))
+        if any(
+            not set(pattern.nodes[q]) <= set(nodes[mapping[q]]) for q in pat_nodes
+        ):
+            continue
+
+        def assign(i, used):
+            if i == len(pattern.edges):
+                return True
+            qe = pattern.edges[i]
+            for e in edges:
+                if e in used:
+                    continue
+                s, d, _k, t = e
+                if s != mapping[qe.src] or d != mapping[qe.dst]:
+                    continue
+                if qe.type not in ("", t):
+                    continue
+                if assign(i + 1, used | {e}):
+                    return True
+            return False
+
+        if assign(0, frozenset()):
+            out.add(tuple(mapping[q] for q in pat_nodes))
+    return out
+
+
+def spark_embeddings(spark, pattern, nodes, edges, with_vertices=True):
+    edf = spark.createDataFrame(
+        [(s, d, k, t) for s, d, k, t in edges], "src long, dst long, key int, type string"
+    )
+    vdf = (
+        spark.createDataFrame(
+            [(v, sorted(ls)) for v, ls in nodes.items()],
+            "v_id long, labels array<string>",
+        )
+        if with_vertices
+        else None
+    )
+    got = match(pattern, edf, vdf)
+    cols = [f"n_{q}" for q in pattern.nodes]
+    return {tuple(r[c] for c in cols) for r in got.collect()}
+
+
+def _check(spark, pattern, nodes, edges):
+    got = spark_embeddings(spark, pattern, nodes, edges)
+    want = brute_force_embeddings(pattern, nodes, edges)
+    assert got == want, f"got {got}\nwant {want}"
+    return got
+
+
+def test_single_typed_edge(spark):
+    nodes = {1: ["a"], 2: ["b"], 3: ["a"]}
+    edges = [(1, 2, 0, "x"), (2, 3, 0, "y"), (3, 1, 0, "x")]
+    p = Pattern().add_node("u", ["a"]).add_node("v", []).add_edge("u", "v", "x")
+    got = _check(spark, p, nodes, edges)
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_wildcard_edge_matches_any_type(spark):
+    nodes = {1: [], 2: [], 3: []}
+    edges = [(1, 2, 0, "x"), (2, 3, 0, "y")]
+    p = Pattern().add_edge("a", "b", "")
+    got = _check(spark, p, nodes, edges)
+    assert len(got) == 2
+
+
+def test_multilabel_containment(spark):
+    # target must carry ALL query labels (Graph.py:87-88 semantics)
+    nodes = {1: ["a", "b"], 2: ["a"], 3: ["a", "b", "c"]}
+    edges = [(1, 2, 0, "x"), (3, 2, 0, "x")]
+    p = Pattern().add_node("u", ["a", "b"]).add_node("v", []).add_edge("u", "v", "x")
+    got = _check(spark, p, nodes, edges)
+    assert got == {(1, 2), (3, 2)}
+
+
+def test_triangle_pattern(spark):
+    nodes = {i: [] for i in range(1, 6)}
+    edges = [
+        (1, 2, 0, "t"), (2, 3, 0, "t"), (3, 1, 0, "t"),
+        (3, 4, 0, "t"), (4, 5, 0, "t"),
+    ]
+    p = (
+        Pattern()
+        .add_edge("a", "b", "t")
+        .add_edge("b", "c", "t")
+        .add_edge("c", "a", "t")
+    )
+    got = _check(spark, p, nodes, edges)
+    assert got == {(1, 2, 3), (2, 3, 1), (3, 1, 2)}
+
+
+def test_parallel_edges_need_distinct_targets(spark):
+    # pattern with two parallel u→v edges requires two distinct target
+    # edges (edge injectivity, MultiGraphMatch.py:289-301)
+    nodes = {1: [], 2: [], 3: [], 4: []}
+    edges = [(1, 2, 0, "x"), (1, 2, 1, "x"), (3, 4, 0, "x")]
+    p = Pattern().add_edge("u", "v", "x").add_edge("u", "v", "x")
+    got = _check(spark, p, nodes, edges)
+    assert got == {(1, 2)}  # (3,4) has only one edge
+
+
+def test_injectivity_of_nodes(spark):
+    nodes = {1: [], 2: []}
+    edges = [(1, 2, 0, "x"), (2, 1, 0, "x")]
+    p = Pattern().add_edge("a", "b", "x").add_edge("b", "c", "x")
+    # c must differ from a: no valid embedding in a 2-cycle
+    got = _check(spark, p, nodes, edges)
+    assert got == set()
+
+
+def test_self_loop_pattern(spark):
+    nodes = {1: [], 2: []}
+    edges = [(1, 1, 0, "s"), (1, 2, 0, "x")]
+    p = Pattern().add_edge("a", "a", "s")
+    got = _check(spark, p, nodes, edges)
+    assert got == {(1,)}
+
+
+def test_node_only_pattern(spark):
+    nodes = {1: ["a"], 2: ["a"], 3: ["b"]}
+    p = Pattern().add_node("u", ["a"])
+    got = spark_embeddings(spark, p, nodes, [])
+    assert got == {(1,), (2,)}
+
+
+def test_random_graphs_vs_oracle(spark):
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 8
+        nodes = {
+            i: rng.sample(["a", "b", "c"], rng.randint(0, 2)) for i in range(n)
+        }
+        raw = [
+            (rng.randrange(n), rng.randrange(n), rng.choice(["x", "y"]))
+            for _ in range(14)
+        ]
+        keyed = {}
+        edges = []
+        for s, d, t in raw:
+            k = keyed.get((s, d), 0)
+            keyed[(s, d)] = k + 1
+            edges.append((s, d, k, t))
+        p = (
+            Pattern()
+            .add_node("u", ["a"])
+            .add_edge("u", "v", "x")
+            .add_edge("v", "w", "")
+        )
+        _check(spark, p, nodes, edges)
+
+
+def test_transactional_support(spark):
+    # 3 graphs, pattern present in 2 (A1 support semantics)
+    rows = []
+    for g, has in (("g1", True), ("g2", True), ("g3", False)):
+        rows.append((g, 1, 2, 0, "x"))
+        if has:
+            rows.append((g, 2, 3, 0, "y"))
+    edf = spark.createDataFrame(
+        rows, "graph_id string, src long, dst long, key int, type string"
+    )
+    p = Pattern().add_edge("a", "b", "x").add_edge("b", "c", "y")
+    emb = match(p, edf)
+    assert emb.select("graph_id").distinct().count() == 2
+    assert support(emb).collect()[0]["support"] == 2
+    assert support(emb, min_support=3).count() == 0
