@@ -45,8 +45,16 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    os.environ.setdefault("CMINER_DRIVER_MEM", "48g")
     spark = get_spark(
-        "cminer-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+        "cminer-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={
+            # pre-touched heap: heap growth otherwise dominates early
+            # superstep timings (see BENCH/BASELINE.md)
+            "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch",
+        },
     )
     entrymod._ship_package(spark)
 
@@ -86,7 +94,8 @@ def main() -> None:
 
     # -- synthetic transcripts graph (scaling-run input) ----------------
     n_convs = int(100_000 * sf * 10)  # sf0.1 → 100k convs ≈ 1.2M turns
-    t = synth_transcripts(spark, n_convs=n_convs, seed=42)
+    t = synth_transcripts(spark, n_convs=n_convs, seed=42).persist()
+    t.count()  # materialize so edge_extract times the kernel, not synthesis
 
     def run_extract():
         e = extract_edges(t).persist()

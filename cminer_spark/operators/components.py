@@ -45,7 +45,7 @@ def _large_star(e: DataFrame) -> DataFrame:
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
     return (
-        sym.join(mins, "u")
+        sym.join(mins.hint("shuffle_hash"), "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -61,7 +61,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     ).where(F.col("u") != F.col("v"))
     mins = dirE.groupBy("u").agg(F.min("v").alias("m"))
     moved = (
-        dirE.join(mins, "u")
+        dirE.join(mins.hint("shuffle_hash"), "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .union(mins.select(F.col("u"), F.col("m").alias("v")))
         .where(F.col("u") != F.col("v"))
@@ -166,12 +166,17 @@ def hashmin_components(
     sym = sym.persist()
     for _ in range(rounds):
         nbr_min = (
-            sym.join(labels.select(F.col("v_id").alias("u"), "component"), "u")
+            sym.join(
+                labels.select(F.col("v_id").alias("u"), "component").hint(
+                    "shuffle_hash"
+                ),
+                "u",
+            )
             .groupBy(F.col("v").alias("v_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
         labels = truncate_lineage(
-            labels.join(nbr_min, "v_id", "left").select(
+            labels.join(nbr_min.hint("shuffle_hash"), "v_id", "left").select(
                 "v_id",
                 F.least(
                     "component", F.coalesce("nbr_min", "component")

@@ -106,6 +106,50 @@ def csr_blocks(edges: DataFrame, n_blocks: int | None = None) -> DataFrame:
     )
 
 
+def induced_subgraph(
+    edges: DataFrame, vertex_set: DataFrame, vertices: DataFrame | None = None
+) -> tuple[DataFrame | None, DataFrame]:
+    """G1 (reference ``Graph.py:607-623``): keep every edge whose BOTH
+    endpoints are in ``vertex_set(v_id)`` — a double semi-join, no
+    driver copy."""
+    vs = vertex_set.select("v_id")
+    e = (
+        edges.join(vs.withColumnRenamed("v_id", "src"), "src", "left_semi")
+        .join(vs.withColumnRenamed("v_id", "dst"), "dst", "left_semi")
+    )
+    v = (
+        vertices.join(vs, "v_id", "left_semi") if vertices is not None else None
+    )
+    return v, e
+
+
+def k_hop_neighborhood(
+    edges: DataFrame, seeds: DataFrame, k: int, directed: bool = False
+) -> DataFrame:
+    """G2 (reference BFS connected subgraph, ``Graph.py:184-210``):
+    vertices within k hops of the seed set — iterative frontier
+    semi-joins, the same superstep skeleton as connected components."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if not directed:
+        sym = sym.union(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    sym = sym.distinct().persist()
+    visited = seeds.select("v_id").distinct()
+    frontier = visited
+    for _ in range(k):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("v_id", "u"), "u", "left_semi")
+            .select(F.col("v").alias("v_id"))
+            .distinct()
+            .join(visited, "v_id", "left_anti")
+        )
+        visited = visited.union(nxt).distinct().localCheckpoint(eager=True)
+        frontier = nxt
+    sym.unpersist()
+    return visited
+
+
 def label_catalog(vertices: DataFrame) -> DataFrame:
     """Sorted distinct node labels — reference memoized catalog
     ``src/Graph/Graph.py:90-93`` (A7)."""

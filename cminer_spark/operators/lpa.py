@@ -76,7 +76,10 @@ def label_propagation(
         # neighbor label frequencies: one shuffle (groupBy), then the
         # per-vertex argmax window (second shuffle on v_id).
         freq = (
-            sym.join(labels.select(F.col("v_id").alias("u"), "label"), "u")
+            sym.join(
+                labels.select(F.col("v_id").alias("u"), "label").hint("shuffle_hash"),
+                "u",
+            )
             .groupBy(F.col("v").alias("v_id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -86,7 +89,7 @@ def label_propagation(
             .where(F.col("rn") == 1)
             .select("v_id", F.col("label").alias("new_label"))
         )
-        new_labels = labels.join(winner, "v_id", "left").select(
+        new_labels = labels.join(winner.hint("shuffle_hash"), "v_id", "left").select(
             "v_id", F.coalesce("new_label", "label").alias("label")
         )
 

@@ -109,16 +109,7 @@ def pagerank(
     )
     if vertices is not None:
         verts = verts.union(vertices.select("v_id"))
-    verts = (
-        verts.distinct()
-        .join(
-            out_w.select(F.col("src").alias("v_id"), F.lit(False).alias("dangling")),
-            "v_id",
-            "left",
-        )
-        .select("v_id", F.coalesce("dangling", F.lit(True)).alias("dangling"))
-        .persist()
-    )
+    verts = verts.distinct().persist()
     n = verts.count()
     info.n_vertices = n
     if n == 0:
@@ -143,13 +134,17 @@ def pagerank(
         adj.unpersist()
         adj = adj_salted
 
-    # state: (v_id, dangling, rank)
+    # state: (v_id, rank). The dangling mass each superstep is NOT a
+    # separate scan: power iteration preserves Σrank = 1 exactly (up
+    # to ~1e-16/step float drift), so dangling = 1 - Σ in_mass — one
+    # scalar aggregate over the already-computed sums.
     start_iter = 0
-    state = verts.select("v_id", "dangling", F.lit(1.0 / n).alias("rank"))
+    state = verts.select("v_id", F.lit(1.0 / n).alias("rank"))
     if checkpoint is not None:
         resume = checkpoint.latest()
         if resume is not None:
             start_iter, state, _meta = resume
+            state = state.select("v_id", "rank")
             info.resumed_from = start_iter
     state = truncate_lineage(state)
 
@@ -158,8 +153,13 @@ def pagerank(
     store = EphemeralStateStore(spark, "pagerank") if checkpoint is None else None
     for it in range(start_iter + 1, max_iter + 1):
         t_step = time.time()
+        # shuffle_hash hint: the state side comes from a checkpoint
+        # scan with unknown stats, so Catalyst would fall back to a
+        # sort-merge join and RE-SORT the cached adjacency every
+        # superstep (observed in explain()).
         contribs = adj.join(
-            state.select(F.col("v_id").alias("src"), "rank"), "src"
+            state.select(F.col("v_id").alias("src"), "rank").hint("shuffle_hash"),
+            "src",
         )
         if info.salted:
             sums = (
@@ -173,16 +173,24 @@ def pagerank(
                 F.sum(F.col("p") * F.col("rank")).alias("in_mass")
             )
 
-        # dangling mass: 1-row broadcast cross join, computed in-plan
-        dangling_df = state.where("dangling").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        # dangling mass via the conservation invariant: 1-row broadcast
+        # cross join, computed in-plan from sums. sums is persisted for
+        # the superstep so the broadcast subquery and the main join
+        # share ONE computation of the contribs chain.
+        sums = sums.persist()
+        dangling_df = sums.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("in_mass"), F.lit(0.0))).alias("dmass")
         )
+        base = verts if not check_convergence else state
         new_state = (
-            state.join(sums.withColumnRenamed("dst", "v_id"), "v_id", "left")
+            base.join(
+                sums.withColumnRenamed("dst", "v_id").hint("shuffle_hash"),
+                "v_id",
+                "left",
+            )
             .crossJoin(F.broadcast(dangling_df))
             .select(
                 "v_id",
-                "dangling",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -191,7 +199,11 @@ def pagerank(
                         + F.col("dmass") / n
                     )
                 ).alias("rank"),
-                F.col("rank").alias("rank_prev"),
+                *(
+                    [F.col("rank").alias("rank_prev")]
+                    if check_convergence
+                    else []
+                ),
             )
         )
 
@@ -214,7 +226,8 @@ def pagerank(
             info.deltas.append(delta)
             if checkpoint is not None:
                 checkpoint.update_metrics(it, {"l1_delta": delta})
-        state = saved.select("v_id", "dangling", "rank")
+        sums.unpersist()
+        state = saved.select("v_id", "rank")
         info.superstep_secs.append(round(time.time() - t_step, 3))
 
         if check_convergence and delta < n * tol:
