@@ -156,6 +156,36 @@ def _q_match_path3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("n_a", "n_b", "n_c")
 
 
+def _q_match_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 attribute-containment matching: node + edge attr predicates
+    pushed through real map<string,string> props columns (reference
+    Graph.py:390-419, MultiGraphMatch.py:341-348)."""
+    from cminer_spark.operators.matching import Pattern, match
+
+    edges = gate.gate_edges_df(spark, sf_dir).withColumn(
+        "props",
+        F.create_map(F.lit("bucket"), F.pmod("src", F.lit(3)).cast("string")),
+    )
+    verts = (
+        edges.selectExpr("src AS v_id")
+        .union(edges.selectExpr("dst AS v_id"))
+        .distinct()
+        .select(
+            "v_id",
+            F.array().cast("array<string>").alias("labels"),
+            F.create_map(
+                F.lit("parity"), F.pmod("v_id", F.lit(2)).cast("string")
+            ).alias("props"),
+        )
+    )
+    p = (
+        Pattern()
+        .add_node("u", props={"parity": "0"})
+        .add_edge("u", "v", "replies_to", props={"bucket": "1"})
+    )
+    return match(p, edges, verts).select("n_u", "n_v")
+
+
 def _q_support_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 support aggregate (reference CMiner.py:174-227): group key ≈
     extension code, support = #distinct transactions, HAVING minsup."""
@@ -223,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_similarity": _q_jaccard,
         "match_wedge": _q_match_wedge,
         "match_path3": _q_match_path3,
+        "match_props": _q_match_props,
         "support_count": _q_support_count,
         "label_catalog": _q_label_catalog,
         "tpch_q1": _q_tpch_q1,
@@ -243,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
         "match_wedge": gate.match_wedge_oracle_sql(),
         "match_path3": gate.match_path3_oracle_sql(),
+        "match_props": gate.match_props_oracle_sql(),
         "jaccard_similarity": gate.jaccard_oracle_sql(),
         "support_count": """
             SELECT l_returnflag, l_linestatus,

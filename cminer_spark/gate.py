@@ -274,6 +274,21 @@ WHERE e1.type = 'replies_to' AND e2.type = 'replies_to'
     )
 
 
+def match_props_oracle_sql() -> str:
+    """F4 attribute-containment gate: the Spark side materializes real
+    ``map<string,string>`` props (bucket = src%3 on edges, parity =
+    v_id%2 on vertices) and matches through the F4 predicate path; the
+    oracle replicates the derived props as plain arithmetic."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """
+SELECT DISTINCT e.src AS n_u, e.dst AS n_v
+FROM edges e
+WHERE e.type = 'replies_to' AND e.src <> e.dst
+  AND e.src % 3 = 1 AND e.src % 2 = 0"""
+    )
+
+
 def jaccard_oracle_sql() -> str:
     return _materialize(
         f"WITH {EDGES_CTE}"

@@ -45,24 +45,47 @@ class PatternEdge:
     src: str
     dst: str
     type: str = WILDCARD
+    # required attrs as a sorted tuple of (key, value) string pairs —
+    # item-subset containment (reference Graph.edge_contains_attributes,
+    # src/Graph/Graph.py:404-419)
+    props: tuple = ()
+
+
+def _props_tuple(props: dict | None) -> tuple:
+    return tuple(sorted((str(k), str(v)) for k, v in (props or {}).items()))
 
 
 @dataclass
 class Pattern:
-    """Tiny query graph: node id → required labels, plus typed edges."""
+    """Tiny query graph: node id → required labels + required attrs,
+    plus typed (optionally attributed) edges."""
 
     nodes: dict[str, list[str]] = field(default_factory=dict)
     edges: list[PatternEdge] = field(default_factory=list)
+    node_props: dict[str, tuple] = field(default_factory=dict)
 
-    def add_node(self, node_id: str, labels: list[str] | None = None) -> "Pattern":
+    def add_node(
+        self,
+        node_id: str,
+        labels: list[str] | None = None,
+        props: dict | None = None,
+    ) -> "Pattern":
         self.nodes[node_id] = sorted(labels or [])
+        if props:
+            self.node_props[node_id] = _props_tuple(props)
         return self
 
-    def add_edge(self, src: str, dst: str, type: str = WILDCARD) -> "Pattern":
+    def add_edge(
+        self,
+        src: str,
+        dst: str,
+        type: str = WILDCARD,
+        props: dict | None = None,
+    ) -> "Pattern":
         for n in (src, dst):
             if n not in self.nodes:
                 self.nodes[n] = []
-        self.edges.append(PatternEdge(src, dst, type))
+        self.edges.append(PatternEdge(src, dst, type, _props_tuple(props)))
         return self
 
 
@@ -73,6 +96,9 @@ def _order_edges(pattern: Pattern) -> list[PatternEdge]:
 
     def selectivity(e: PatternEdge) -> int:
         s = len(pattern.nodes[e.src]) + len(pattern.nodes[e.dst])
+        s += len(pattern.node_props.get(e.src) or ())
+        s += len(pattern.node_props.get(e.dst) or ())
+        s += len(e.props)
         return s + (2 if e.type != WILDCARD else 0)
 
     remaining = list(pattern.edges)
@@ -91,11 +117,30 @@ def _order_edges(pattern: Pattern) -> list[PatternEdge]:
     return order
 
 
-def _label_filter(vertices: DataFrame, labels: list[str]) -> DataFrame:
-    if not labels:
-        return vertices
-    req = F.array(*[F.lit(x) for x in labels])
-    return vertices.where(F.size(F.array_except(req, F.col("labels"))) == 0)
+def _props_pred(col: str, props: tuple) -> F.Column | None:
+    """Attribute item-subset containment (F4): every required (k, v)
+    must be present with string-equal value in the ``map<string,
+    string>`` attrs column (reference Graph.py:390-419).
+    ``try_element_at`` keeps missing keys NULL (→ row filtered) instead
+    of raising under Spark 4 ANSI map access."""
+    pred = None
+    for k, v in props:
+        p = F.try_element_at(F.col(col), F.lit(k)) == F.lit(v)
+        pred = p if pred is None else pred & p
+    return pred
+
+
+def _label_filter(
+    vertices: DataFrame, labels: list[str], props: tuple = ()
+) -> DataFrame:
+    if labels:
+        req = F.array(*[F.lit(x) for x in labels])
+        vertices = vertices.where(
+            F.size(F.array_except(req, F.col("labels"))) == 0
+        )
+    if props:
+        vertices = vertices.where(_props_pred("props", props))
+    return vertices
 
 
 def match(
@@ -119,11 +164,15 @@ def match(
     if graph_col is None and "graph_id" in edges.columns:
         graph_col = "graph_id"
     key = F.col("key") if "key" in edges.columns else F.lit(0)
+    needs_edge_props = any(e.props for e in pattern.edges)
+    if needs_edge_props and "props" not in edges.columns:
+        raise ValueError("pattern has edge attr predicates but edges has no 'props'")
     base = edges.select(
         "src",
         "dst",
         F.col("type"),
         key.alias("key"),
+        *([F.col("props")] if needs_edge_props else []),
         *([F.col(graph_col).alias("_g")] if graph_col else []),
     )
 
@@ -131,6 +180,8 @@ def match(
         c = base
         if qe.type != WILDCARD:
             c = c.where(F.col("type") == qe.type)
+        if qe.props:  # F4: edge attr containment, pushed into the scan
+            c = c.where(_props_pred("props", qe.props))
         if qe.src == qe.dst:  # self-loop: one binding column
             c = c.where(F.col("src") == F.col("dst")).select(
                 F.col("src").alias(f"n_{qe.src}"),
@@ -138,20 +189,25 @@ def match(
                 *([F.col("_g")] if graph_col else []),
             )
         else:
-            c = c.select(
+            # distinct query nodes can never bind one target vertex —
+            # drops data self-loops here so injectivity also holds for
+            # the FIRST ordered edge, which sees no later n_x != n_y
+            # filters (reference mapping check MultiGraphMatch.py:289-301)
+            c = c.where(F.col("src") != F.col("dst")).select(
                 F.col("src").alias(f"n_{qe.src}"),
                 F.col("dst").alias(f"n_{qe.dst}"),
                 F.struct("src", "dst", "key").alias(f"e_{idx}"),
                 *([F.col("_g")] if graph_col else []),
             )
-        # node-label containment via semi-joins against the filtered
-        # vertex sets (F2; the reference's bitmap prefilter J1/J2
-        # collapses into these label-selective scans)
+        # node-label/attr containment via semi-joins against the
+        # filtered vertex sets (F2+F4; the reference's bitmap prefilter
+        # J1/J2 collapses into these label-selective scans)
         if vertices is not None:
             for node in (qe.src, qe.dst):
                 labels = pattern.nodes.get(node) or []
-                if labels:
-                    vs = _label_filter(vertices, labels).select(
+                nprops = pattern.node_props.get(node) or ()
+                if labels or nprops:
+                    vs = _label_filter(vertices, labels, nprops).select(
                         F.col("v_id").alias(f"n_{node}"),
                         *(
                             [F.col(graph_col).alias("_g")]
@@ -172,7 +228,9 @@ def match(
             raise ValueError("node-only pattern needs a vertices frame")
         emb = None
         for node, labels in pattern.nodes.items():
-            vs = _label_filter(vertices, labels).select(
+            vs = _label_filter(
+                vertices, labels, pattern.node_props.get(node) or ()
+            ).select(
                 F.col("v_id").alias(f"n_{node}"),
                 *(
                     [F.col(graph_col).alias("_g")]
@@ -219,7 +277,9 @@ def match(
     for n in isolated:
         if vertices is None:
             raise ValueError(f"isolated pattern node {n!r} needs a vertices frame")
-        vs = _label_filter(vertices, pattern.nodes.get(n) or []).select(
+        vs = _label_filter(
+            vertices, pattern.nodes.get(n) or [], pattern.node_props.get(n) or ()
+        ).select(
             F.col("v_id").alias(f"n_{n}"),
             *(
                 [F.col(graph_col).alias("_g")]

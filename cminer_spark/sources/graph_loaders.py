@@ -68,7 +68,14 @@ def read_csv_graph_db(
         edges = spark.read.csv(
             os.path.join(root, name, "edges"), header=True, inferSchema=False
         )
-        kw = Window.partitionBy("source", "target").orderBy(F.lit(1))
+        # parallel-edge keys follow FILE ORDER (reference allocates keys
+        # in load order, Graph.py:44-49): order the window by (file,
+        # position-within-split) so key assignment is deterministic
+        # across runs/partitionings — orderBy(lit(1)) is not.
+        edges = edges.withColumn("_file", F.input_file_name()).withColumn(
+            "_pos", F.monotonically_increasing_id()
+        )
+        kw = Window.partitionBy("source", "target").orderBy("_file", "_pos")
         e_parts.append(
             edges.withColumn("key", (F.row_number().over(kw) - 1).cast("int"))
             .select(
@@ -77,7 +84,9 @@ def read_csv_graph_db(
                 F.col("target").cast("long").alias("dst"),
                 "key",
                 F.coalesce(F.col("type"), F.lit("")).alias("type"),
-                _props_map(edges, ["source", "target", "type"]).alias("props"),
+                _props_map(
+                    edges, ["source", "target", "type", "_file", "_pos", "key"]
+                ).alias("props"),
             )
         )
     v = v_parts[0]
@@ -102,14 +111,17 @@ def read_json_graph(
         ).alias("labels"),
     )
     links_col = "links" if "links" in doc.columns else "edges"
-    kw = Window.partitionBy("src", "dst").orderBy(F.lit(1))
+    # document order is the reference's key-allocation order
+    # (Graph.py:44-49): posexplode keeps it, making keys deterministic
+    kw = Window.partitionBy("src", "dst").orderBy("_pos")
     edges = (
-        doc.select(F.explode(links_col).alias("e"))
+        doc.select(F.posexplode(links_col).alias("_pos", "e"))
         .select(
             F.lit(graph_id).alias("graph_id"),
             F.col("e.source").cast("long").alias("src"),
             F.col("e.target").cast("long").alias("dst"),
             F.coalesce(F.col("e.type"), F.lit("")).alias("type"),
+            "_pos",
         )
         .withColumn("key", (F.row_number().over(kw) - 1).cast("int"))
         .select("graph_id", "src", "dst", "key", "type")

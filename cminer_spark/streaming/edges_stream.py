@@ -13,10 +13,17 @@ is the noted extension: the same edge semantics as
   aggregation of tool-invocation edges (late data dropped after the
   watermark), the canonical windowed-agg shape.
 
-Late/out-of-order turns: pairing assumes turns arrive in turn_idx
-order per conversation (the generator and any log shipper preserve
-this); a turn older than the stored state is emitted as an edge to
-its (idx-1) key anyway — deterministic, idempotent output.
+Pairing semantics match the batch kernel
+(:func:`cminer_spark.operators.edges.extract_edges`): a turn pairs
+with the *previous existing* turn of its conversation (tracked in
+state), not with the arithmetic ``turn_idx - 1`` — so gappy turn
+indices produce identical edges in both paths. Rows at or below the
+stored predecessor index (``turn_idx <= last_idx``) are suppressed,
+making the output idempotent under at-least-once upstream delivery.
+Delivery-order assumption: turns of a conversation must arrive in
+turn_idx order *across* micro-batches (log shippers preserve this);
+a genuinely out-of-order old turn is indistinguishable from a replay
+and is dropped rather than mis-paired.
 """
 
 from __future__ import annotations
@@ -39,23 +46,29 @@ def _pair_group(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Stateful kernel: emit replies_to/invokes edges for one
-    conversation's new turns; remember the max turn_idx seen."""
+    conversation's new turns.
+
+    State holds the conversation's latest processed turn_idx. Each new
+    turn pairs with the *stored predecessor* (batch parity: previous
+    existing row, not arithmetic idx-1); turns at or below the stored
+    index are re-deliveries and are skipped (idempotence)."""
     (conv_id,) = key
     last_idx = state.get[0] if state.exists else -1
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
         rows_src, rows_dst, rows_type = [], [], []
         for turn_idx, tool in zip(pdf["turn_idx"], pdf["tool"]):
-            if turn_idx > 0:
+            if turn_idx <= last_idx:
+                continue  # duplicate / replayed row — already emitted
+            if last_idx >= 0:
                 rows_src.append(f"{conv_id}#{turn_idx}")
-                rows_dst.append(f"{conv_id}#{turn_idx - 1}")
+                rows_dst.append(f"{conv_id}#{last_idx}")
                 rows_type.append("replies_to")
             if isinstance(tool, str) and tool:
                 rows_src.append(f"{conv_id}#{turn_idx}")
                 rows_dst.append(f"tool:{tool}")
                 rows_type.append("invokes")
-            if turn_idx > last_idx:
-                last_idx = int(turn_idx)
+            last_idx = int(turn_idx)
         if rows_src:
             yield pd.DataFrame(
                 {
@@ -100,9 +113,17 @@ def stream_tool_invocation_counts(
     slide: str | None = None,
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """Watermarked windowed counts of tool invocations per tool —
-    late turns beyond the watermark are dropped (Structured Streaming
-    semantics); output is append-mode-compatible once windows close."""
+    """Watermarked windowed counts of tool invocations per tool.
+
+    Late turns beyond the watermark are dropped (Structured Streaming
+    semantics). Emission-mode note: in ``append`` mode a window is only
+    emitted once the watermark passes its end — under an
+    ``availableNow`` drain the watermark advances *between*
+    micro-batches, so windows later than (max event time − watermark)
+    never close and never appear. Run this aggregation with
+    ``update``/``complete`` output mode (keyed sink upsert) when every
+    in-flight window must be visible, reserving ``append`` for
+    closed-window-only consumers."""
     return (
         transcripts_stream.where(
             F.col("tool").isNotNull() & (F.col("tool") != "")

@@ -14,19 +14,30 @@ from cminer_spark.operators.matching import Pattern, match, support
 
 # -- brute-force oracle -------------------------------------------------
 
-def brute_force_embeddings(pattern: Pattern, nodes, edges):
+def brute_force_embeddings(pattern: Pattern, nodes, edges, node_props=None,
+                           edge_props=None):
     """All injective node mappings such that every pattern edge maps to
-    a DISTINCT target edge with matching type ('' = wildcard).
+    a DISTINCT target edge with matching type ('' = wildcard) and
+    required (k, v) attrs present by item-subset (F4).
 
-    nodes: {node_id: labels}; edges: [(src, dst, key, type)].
+    nodes: {node_id: labels}; edges: [(src, dst, key, type)];
+    node_props: {node_id: dict}; edge_props: {(src, dst, key): dict}.
     Returns set of tuples of target ids in pattern-node order.
     """
+    node_props = node_props or {}
+    edge_props = edge_props or {}
     pat_nodes = list(pattern.nodes)
     out = set()
     for perm in itertools.permutations(nodes, len(pat_nodes)):
         mapping = dict(zip(pat_nodes, perm))
         if any(
             not set(pattern.nodes[q]) <= set(nodes[mapping[q]]) for q in pat_nodes
+        ):
+            continue
+        if any(
+            node_props.get(mapping[q], {}).get(k) != v
+            for q in pat_nodes
+            for k, v in pattern.node_props.get(q, ())
         ):
             continue
 
@@ -37,10 +48,15 @@ def brute_force_embeddings(pattern: Pattern, nodes, edges):
             for e in edges:
                 if e in used:
                     continue
-                s, d, _k, t = e
+                s, d, k_, t = e
                 if s != mapping[qe.src] or d != mapping[qe.dst]:
                     continue
                 if qe.type not in ("", t):
+                    continue
+                if any(
+                    edge_props.get((s, d, k_), {}).get(pk) != pv
+                    for pk, pv in qe.props
+                ):
                     continue
                 if assign(i + 1, used | {e}):
                     return True
@@ -51,14 +67,19 @@ def brute_force_embeddings(pattern: Pattern, nodes, edges):
     return out
 
 
-def spark_embeddings(spark, pattern, nodes, edges, with_vertices=True):
+def spark_embeddings(spark, pattern, nodes, edges, with_vertices=True,
+                     node_props=None, edge_props=None):
     edf = spark.createDataFrame(
-        [(s, d, k, t) for s, d, k, t in edges], "src long, dst long, key int, type string"
+        [
+            (s, d, k, t, (edge_props or {}).get((s, d, k), {}))
+            for s, d, k, t in edges
+        ],
+        "src long, dst long, key int, type string, props map<string,string>",
     )
     vdf = (
         spark.createDataFrame(
-            [(v, sorted(ls)) for v, ls in nodes.items()],
-            "v_id long, labels array<string>",
+            [(v, sorted(ls), (node_props or {}).get(v, {})) for v, ls in nodes.items()],
+            "v_id long, labels array<string>, props map<string,string>",
         )
         if with_vertices
         else None
@@ -141,6 +162,96 @@ def test_self_loop_pattern(spark):
     p = Pattern().add_edge("a", "a", "s")
     got = _check(spark, p, nodes, edges)
     assert got == {(1,)}
+
+
+def test_data_self_loop_not_bound_to_two_query_nodes(spark):
+    """Regression (ADVICE r1): a target self-loop must NOT bind both
+    endpoints of the first ordered pattern edge to one vertex — the
+    reference's mapping check rejects it (MultiGraphMatch.py:289-301).
+    Node 1 also has a second out-edge so edge injectivity can't mask
+    the bug."""
+    nodes = {1: [], 2: []}
+    edges = [(1, 1, 0, "x"), (1, 2, 0, "x")]
+    p = Pattern().add_edge("a", "b", "x")
+    got = _check(spark, p, nodes, edges)
+    assert got == {(1, 2)}
+    # and the bare self-loop-only graph yields nothing
+    got2 = spark_embeddings(spark, p, {1: []}, [(1, 1, 0, "x")])
+    assert got2 == set()
+
+
+def test_node_attr_containment(spark):
+    """F4: node attr item-subset (reference Graph.py:390-402)."""
+    nodes = {1: ["a"], 2: ["a"], 3: []}
+    node_props = {1: {"color": "red", "size": "3"}, 2: {"color": "blue"}}
+    edges = [(1, 3, 0, "x"), (2, 3, 0, "x")]
+    p = (
+        Pattern()
+        .add_node("u", ["a"], props={"color": "red"})
+        .add_edge("u", "v", "x")
+    )
+    got = spark_embeddings(spark, p, nodes, edges, node_props=node_props)
+    want = brute_force_embeddings(p, nodes, edges, node_props=node_props)
+    assert got == want == {(1, 3)}
+    # requiring a key that exists nowhere matches nothing (missing key
+    # must filter, not error, under ANSI map access)
+    p2 = Pattern().add_node("u", [], props={"nope": "1"}).add_edge("u", "v", "x")
+    assert spark_embeddings(spark, p2, nodes, edges, node_props=node_props) == set()
+
+
+def test_edge_attr_containment(spark):
+    """F4: edge attr item-subset (reference Graph.py:404-419,
+    applied MultiGraphMatch.py:341-348)."""
+    nodes = {1: [], 2: [], 3: []}
+    edges = [(1, 2, 0, "x"), (1, 2, 1, "x"), (2, 3, 0, "x")]
+    edge_props = {
+        (1, 2, 0): {"w": "5", "kind": "hot"},
+        (1, 2, 1): {"w": "7"},
+        (2, 3, 0): {"w": "5"},
+    }
+    p = Pattern().add_edge("u", "v", "x", props={"w": "5"})
+    got = spark_embeddings(spark, p, nodes, edges, edge_props=edge_props)
+    want = brute_force_embeddings(p, nodes, edges, edge_props=edge_props)
+    assert got == want == {(1, 2), (2, 3)}
+    # two required attrs: conjunction
+    p2 = Pattern().add_edge("u", "v", "x", props={"w": "5", "kind": "hot"})
+    assert spark_embeddings(spark, p2, nodes, edges, edge_props=edge_props) == {(1, 2)}
+
+
+def test_random_graphs_with_attrs_vs_oracle(spark):
+    import random
+
+    rng = random.Random(17)
+    for _ in range(2):
+        n = 7
+        nodes = {i: rng.sample(["a", "b"], rng.randint(0, 1)) for i in range(n)}
+        node_props = {
+            i: {"c": rng.choice(["r", "g"])} for i in range(n) if rng.random() < 0.7
+        }
+        raw = [
+            (rng.randrange(n), rng.randrange(n), rng.choice(["x", "y"]))
+            for _ in range(12)
+        ]
+        keyed, edges, edge_props = {}, [], {}
+        for s, d, t in raw:
+            k = keyed.get((s, d), 0)
+            keyed[(s, d)] = k + 1
+            edges.append((s, d, k, t))
+            if rng.random() < 0.6:
+                edge_props[(s, d, k)] = {"w": rng.choice(["1", "2"])}
+        p = (
+            Pattern()
+            .add_node("u", [], props={"c": "r"})
+            .add_edge("u", "v", "x", props={"w": "1"})
+            .add_edge("v", "w", "")
+        )
+        got = spark_embeddings(
+            spark, p, nodes, edges, node_props=node_props, edge_props=edge_props
+        )
+        want = brute_force_embeddings(
+            p, nodes, edges, node_props=node_props, edge_props=edge_props
+        )
+        assert got == want
 
 
 def test_node_only_pattern(spark):

@@ -12,7 +12,7 @@ from cminer_spark.streaming import stream_edges, stream_tool_invocation_counts
 from cminer_spark.synth import synth_transcripts
 
 
-def _run_stream(spark, src_dir, build, out_name):
+def _run_stream(spark, src_dir, build, out_name, output_mode="append"):
     schema = synth_transcripts(spark, 1).schema
     stream = (
         spark.readStream.schema(schema)
@@ -23,7 +23,7 @@ def _run_stream(spark, src_dir, build, out_name):
         build(stream)
         .writeStream.format("memory")
         .queryName(out_name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -31,12 +31,28 @@ def _run_stream(spark, src_dir, build, out_name):
     return spark.table(out_name)
 
 
+def _write_in_turn_order(t, src, ranges):
+    """Write sequential single-file appends split by turn_idx so the
+    file source replays each conversation's turns in order across
+    micro-batches (stateful pairing assumes in-order delivery)."""
+    import time
+
+    for lo, hi in ranges:
+        (
+            t.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(0.2)  # distinct modification times → stable file order
+
+
 def test_stream_edges_match_batch(spark, tmp_path):
     t = synth_transcripts(spark, n_convs=80, seed=5)
     src = str(tmp_path / "turns")
-    # write multiple files; conversations split across files exercise
-    # cross-micro-batch state
-    t.repartition(4).write.parquet(src)
+    # conversations straddle the appends, exercising cross-micro-batch
+    # state; appends arrive in turn order (see _write_in_turn_order)
+    _write_in_turn_order(t, src, [(0, 3), (3, 7), (7, 10**9)])
 
     got = _run_stream(spark, src, stream_edges, "edges_stream_out")
     want = extract_edges(spark.read.parquet(src))
@@ -49,11 +65,16 @@ def test_stream_windowed_tool_counts(spark, tmp_path):
     t = synth_transcripts(spark, n_convs=60, seed=6)
     src = str(tmp_path / "turns2")
     t.write.parquet(src)
+    # append mode would only emit windows the watermark has passed
+    # (under availableNow the watermark advances between micro-batches,
+    # so the final windows never close) — complete mode shows every
+    # window, which must equal the batch aggregation exactly.
     got = _run_stream(
         spark,
         src,
         lambda s: stream_tool_invocation_counts(s, window="1 hour"),
         "tool_counts_out",
+        output_mode="complete",
     )
     batch = (
         spark.read.parquet(src)
@@ -61,8 +82,54 @@ def test_stream_windowed_tool_counts(spark, tmp_path):
         .groupBy(F.window("ts", "1 hour").alias("w"), "tool")
         .agg(F.count(F.lit(1)).alias("n_invocations"))
     )
-    # all windows close under availableNow, so totals must agree
     assert got.agg(F.sum("n_invocations")).collect()[0][0] == batch.agg(
         F.sum("n_invocations")
     ).collect()[0][0]
     assert got.count() == batch.count()
+
+
+def test_stream_edges_gappy_and_redelivered(spark, tmp_path):
+    """Non-dense turn_idx must pair with the previous EXISTING turn
+    (batch parity), and re-delivered rows must not re-emit edges."""
+    batch1 = [
+        # conversation c1 with gaps: 0, 2 — and c2 starting at 7
+        ("c1", 0, "user", "hi", None),
+        ("c1", 2, "assistant", "yo", "search"),
+        ("c2", 7, "user", "start", None),
+    ]
+    batch2 = [
+        ("c1", 2, "assistant", "yo", "search"),  # duplicate delivery
+        ("c1", 5, "user", "bye", None),
+        ("c2", 9, "assistant", "mid", "calc"),
+    ]
+    import datetime
+    import time
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [
+                (c, i, r, x, tl, t0 + datetime.timedelta(minutes=i))
+                for c, i, r, x, tl in rows
+            ],
+            schema="conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp",
+        )
+
+    src = str(tmp_path / "turns_gappy")
+    _df(batch1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.2)
+    _df(batch2).coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_stream(spark, src, stream_edges, "edges_gappy_out")
+    g = {(r.src_key, r.dst_key, r.type) for r in got.collect()}
+    assert g == {
+        ("c1#2", "c1#0", "replies_to"),
+        ("c1#2", "tool:search", "invokes"),
+        ("c1#5", "c1#2", "replies_to"),
+        ("c2#9", "c2#7", "replies_to"),
+        ("c2#9", "tool:calc", "invokes"),
+    }
+    # exactly-once despite the duplicate row: no repeated edge rows
+    assert got.count() == len(g)
