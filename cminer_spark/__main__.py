@@ -3,12 +3,19 @@
     spark-submit --py-files cminer_spark.zip -m cminer_spark \
         --transcripts iceberg:warehouse.conv.transcripts \
         --algorithm pagerank --tol 1e-6 --max-iter 100 \
-        --checkpoint-dir s3://bucket/ck/run1 --output parquet:/out/ranks
+        --checkpoint-dir /mnt/shared/ck/run1 --output parquet:/out/ranks
 
 Runs: transcripts → Arrow edge extraction → the chosen north-rule
 algorithm with durable per-superstep checkpointing → output table.
 Re-running with the same ``--checkpoint-dir`` resumes from the last
 committed superstep (exact resume, tested).
+
+Frequent-subgraph mining with the reference CLI's surface
+(``/root/reference/src/CMiner/main.py:30-47``: ``db_file support -l
+-u -m -o -p``):
+
+    python -m cminer_spark mine graphs.data 0.5 -l 2 -u 4 \
+        -o out_dir -p start_patterns.txt -m 1
 """
 
 from __future__ import annotations
@@ -18,7 +25,70 @@ import json
 import sys
 
 
+def _main_mine(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="cminer_spark mine")
+    ap.add_argument("db_file", type=str, help="path to .data graph db")
+    ap.add_argument("support", type=float, help="support (≤1 = fraction of |DB|)")
+    ap.add_argument("-l", "--min_nodes", type=int, default=1)
+    ap.add_argument("-u", "--max_nodes", type=int, default=4)
+    ap.add_argument("-m", "--show_mappings", type=int, default=0)
+    ap.add_argument("-o", "--output_path", type=str, default=None)
+    ap.add_argument("-p", "--patterns_path", type=str, default=None)
+    ap.add_argument("--max-edges", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from cminer_spark import get_spark
+    from cminer_spark.operators.mining import mine_frequent_patterns, patterns_to_df
+    from cminer_spark.sources import (
+        parse_pattern_text,
+        read_data_db,
+        write_mappings_text,
+        write_patterns_text,
+    )
+
+    spark = get_spark("cminer-mine", master=args.master)
+    v, e = read_data_db(spark, args.db_file)
+    start = None
+    if args.patterns_path:
+        with open(args.patterns_path) as f:
+            start = parse_pattern_text(f.read())
+    support = args.support if args.support < 1 else int(args.support)
+    mined = mine_frequent_patterns(
+        v,
+        e,
+        min_support=support,
+        max_edges=args.max_edges
+        if args.max_edges is not None
+        else args.max_nodes * (args.max_nodes - 1),
+        min_nodes=args.min_nodes,
+        max_nodes=args.max_nodes,
+        start_patterns=start,
+        with_graph_counts=True,
+        keep_embeddings=bool(args.show_mappings),
+    )
+    df = patterns_to_df(spark, mined)
+    if args.output_path:
+        write_patterns_text(df, args.output_path)
+        if args.show_mappings:
+            for i, mp in enumerate(mined):
+                if mp.embeddings is not None:
+                    write_mappings_text(
+                        mp.embeddings, path=f"{args.output_path}_mappings/p{i}"
+                    )
+    else:
+        for r in write_patterns_text(df).collect():
+            print(r.value)
+            print("-")
+    print(json.dumps({"patterns": len(mined)}), file=sys.stderr)
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "mine":
+        return _main_mine(argv[1:])
     ap = argparse.ArgumentParser(prog="cminer_spark")
     ap.add_argument("--transcripts", help="transcripts table ref (iceberg:/table:/parquet:)")
     ap.add_argument("--edges", help="pre-extracted edges table ref (skips extraction)")

@@ -160,18 +160,9 @@ def label_catalog(vertices: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_similarity(edges: DataFrame, min_shared: int = 1) -> DataFrame:
-    """Neighborhood Jaccard over undirected neighbor sets for vertex
-    pairs sharing ≥ ``min_shared`` neighbors — reference
-    ``src/Graph/Graph.py:149-164`` (A8).
-
-    Computed via wedge enumeration (pairs through a shared neighbor)
-    + degree join: |A∩B| from the wedge count over distinct
-    neighbor sets, |A∪B| = deg(a)+deg(b)-|A∩B|. Avoids
-    materializing neighbor arrays for high-degree vertices; the
-    wedge join is the same shape as triangle counting and scales the
-    same way.
-    """
+def _und_sym(edges: DataFrame) -> DataFrame:
+    """Symmetric distinct neighbor pairs ``(v, nbr)`` of the
+    undirected simple projection."""
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -179,12 +170,45 @@ def jaccard_similarity(edges: DataFrame, min_shared: int = 1) -> DataFrame:
         )
         .distinct()
     )
-    sym = und.select("a", "b").union(und.select(F.col("b"), F.col("a"))).toDF(
+    return und.select("a", "b").union(und.select(F.col("b"), F.col("a"))).toDF(
         "v", "nbr"
     )
+
+
+def jaccard_similarity(
+    edges: DataFrame,
+    min_shared: int = 1,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood Jaccard over undirected neighbor sets for vertex
+    pairs sharing ≥ ``min_shared`` neighbors — reference
+    ``src/Graph/Graph.py:149-164`` (A8).
+
+    Computed via wedge enumeration (pairs through a shared neighbor)
+    + degree join: |A∩B| from the wedge count over distinct
+    neighbor sets, |A∪B| = deg(a)+deg(b)-|A∩B|.
+
+    Scale note — the wedge join materializes deg(p)² pairs per pivot
+    p, so one super-hub (a tool vertex with 10⁷ callers) yields 10¹⁴
+    rows. ``max_pivot_degree`` bounds this: pivots above the cap are
+    EXCLUDED from wedge enumeration, so pairs whose only shared
+    neighbors are super-hubs are dropped and shared counts through
+    super-hubs are not counted — a documented under-approximation
+    (hub co-membership carries little similarity signal; the analog
+    of stop-word removal). For estimates that still include hub
+    neighborhoods use :func:`jaccard_similarity_minhash`, which is
+    linear in |E| regardless of skew. Default ``None`` = exact.
+    """
+    sym = _und_sym(edges)
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
-    e1 = sym.select(F.col("nbr").alias("shared"), F.col("v").alias("a"))
-    e2 = sym.select(F.col("nbr").alias("shared"), F.col("v").alias("b"))
+    pivots = sym.select(F.col("nbr").alias("shared"), F.col("v"))
+    if max_pivot_degree is not None:
+        ok = deg.where(F.col("deg") <= max_pivot_degree).select(
+            F.col("v").alias("shared")
+        )
+        pivots = pivots.join(ok, "shared", "left_semi")
+    e1 = pivots.select("shared", F.col("v").alias("a"))
+    e2 = pivots.select("shared", F.col("v").alias("b"))
     wedges = (
         e1.join(e2, "shared")
         .where(F.col("a") < F.col("b"))
@@ -206,3 +230,76 @@ def jaccard_similarity(edges: DataFrame, min_shared: int = 1) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def jaccard_similarity_minhash(
+    edges: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    min_estimate: float = 0.0,
+) -> DataFrame:
+    """Approximate neighborhood Jaccard via MinHash + LSH banding —
+    the documented scale path past :func:`jaccard_similarity`'s wedge
+    blow-up (same signature→band→bucket-equi-join shape as
+    :func:`cminer_spark.pipeline.dedup.minhash_lsh_candidates`).
+
+    Per vertex: a ``n_hashes``-wide MinHash signature of its neighbor
+    set (one groupBy over the symmetric edge list — linear in |E|,
+    hub-degree only widens one aggregation group). Candidate pairs
+    come from equality of any of ``bands`` signature bands (never an
+    all-pairs join), and the returned ``jaccard_est`` is the fraction
+    of agreeing signature components — E[est] = true Jaccard.
+
+    Output: (a, b, jaccard_est) with a < b.
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows_per_band = n_hashes // bands
+    sym = _und_sym(edges)
+    sig = sym.groupBy("v").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64("nbr", F.lit(i))).alias(f"h{i}")
+                for i in range(n_hashes)
+            ]
+        ).alias("sig")
+    )
+    banded = sig.select(
+        "v",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            F.lit(b),
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("v", "sig", "bk.band", "bk.bh")
+    left = banded.select(
+        "band", "bh", F.col("v").alias("a"), F.col("sig").alias("sig_a")
+    )
+    right = banded.select(
+        "band", "bh", F.col("v").alias("b"), F.col("sig").alias("sig_b")
+    )
+    cands = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(n_hashes))
+    out = cands.select("a", "b", est.alias("jaccard_est"))
+    if min_estimate > 0:
+        out = out.where(F.col("jaccard_est") >= min_estimate)
+    return out

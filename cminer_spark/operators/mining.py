@@ -10,28 +10,38 @@ the A1 aggregate: ``countDistinct(graph_id) >= min_support`` with
 anti-monotone pruning (``CMiner.py:174-227``).
 
 Differences from the reference (by design, SURVEY §7.3 "no port
-temptation"): growth is level-wise (BFS) instead of stack-DFS — the
-frontier is small and driver-held either way, but BFS lets every
-candidate extension of a level be counted in ONE distributed
-aggregation per pattern; duplicate isomorphic patterns are removed by
-an exact canonical code (brute-force over ≤8 pattern nodes, the
-driver-side analog of ``Graph.py:578-605``).
+temptation"): growth is level-wise (BFS) instead of stack-DFS, and —
+critically for the driver-job budget — ALL candidate extensions of a
+pattern (every attach node × direction × cycle-closing pair) are
+evaluated in **ONE distributed aggregation per (pattern, level)**:
+the per-branch candidate joins are unioned under discriminator
+columns (``_kind/_qi/_qj/_dir``), persisted once, aggregated once
+(A1+A5 extension-coverage grouping in a single ``groupBy``), and each
+surviving child's embedding frame is a lazy FILTER of that cached
+frame — no per-child count jobs, no per-child persists. Spark jobs
+per level are O(#patterns), not O(#patterns · #nodes · 2).
+
+Duplicate isomorphic patterns are removed by an exact canonical code
+(brute force over ≤8 pattern nodes, the driver-side analog of
+``Graph.py:578-605``).
 
 Node-label semantics mirror the reference: seed patterns group
 vertices by their FULL sorted label set (``CMiner.py:585-607``), and
 extensions key on the new node's full label set
-(``CMiner.py:174-203``).
+(``CMiner.py:174-203``). User start patterns are localized with the
+matcher and grown from their embeddings (``CMiner.py:469-490``).
 """
 
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cminer_spark.operators.matching import Pattern, PatternEdge
+from cminer_spark.operators.matching import Pattern, match
 
 
 @dataclass
@@ -40,6 +50,12 @@ class MinedPattern:
     support: int
     frequency: int
     code: str
+    # per-graph embedding counts (reference ``x <graph> <count>`` info
+    # lines, CMiner.py:429-446); filled when with_graph_counts=True
+    graph_counts: dict = field(default_factory=dict)
+    # lazy embeddings frame (_g + n_<node> [+ e_<i>]); kept when
+    # keep_embeddings=True for show_mappings output
+    embeddings: DataFrame | None = None
 
 
 def canonical_code(pattern: Pattern) -> str:
@@ -67,6 +83,91 @@ def _labels_code() -> F.Column:
     return F.array_join(F.sort_array(F.col("labels")), "|")
 
 
+def _fresh_node_id(pattern: Pattern) -> str:
+    i = len(pattern.nodes)
+    while f"q{i}" in pattern.nodes:
+        i += 1
+    return f"q{i}"
+
+
+def _extension_candidates(
+    pattern: Pattern, emb: DataFrame, v: DataFrame, e: DataFrame, max_nodes: int
+) -> DataFrame | None:
+    """The unified candidate frame for one pattern: every node
+    extension (J6) and cycle-closing edge extension (J7) as branches of
+    one union, tagged by (_kind, _qi, _qj, _dir). One persist + one
+    aggregation evaluates them all."""
+    node_ids = list(pattern.nodes)
+    edge_cols = [c for c in emb.columns if c.startswith("e_")]
+    can_add_node = len(node_ids) < max_nodes
+    base_cols = ["_g"] + [f"n_{n}" for n in node_ids] + edge_cols
+    branches: list[DataFrame] = []
+    for qi in node_ids:
+        if can_add_node:
+            for direction in ("out", "in"):
+                me, other = ("src", "dst") if direction == "out" else ("dst", "src")
+                cand = emb.join(
+                    e.withColumnRenamed("_g", "_ge"),
+                    (F.col(f"n_{qi}") == F.col(me)) & (F.col("_g") == F.col("_ge")),
+                )
+                for b in node_ids:  # new endpoint not yet bound (injectivity)
+                    cand = cand.where(F.col(other) != F.col(f"n_{b}"))
+                for ec in edge_cols:  # new edge distinct from bound edges
+                    cand = cand.where(F.struct("src", "dst", "key") != F.col(ec))
+                cand = cand.join(
+                    v.select(
+                        F.col("_g").alias("_gv"),
+                        F.col("v_id").alias("_vnew"),
+                        F.col("lcode").alias("_lnew"),
+                    ),
+                    (F.col(other) == F.col("_vnew")) & (F.col("_g") == F.col("_gv")),
+                )
+                branches.append(
+                    cand.select(
+                        *base_cols,
+                        "src",
+                        "dst",
+                        "key",
+                        "type",
+                        F.lit("node").alias("_kind"),
+                        F.lit(qi).alias("_qi"),
+                        F.lit(None).cast("string").alias("_qj"),
+                        F.lit(direction).alias("_dir"),
+                        F.col("_vnew"),
+                        F.col("_lnew"),
+                    )
+                )
+        for qj in node_ids:
+            if qj == qi:
+                continue
+            cand = emb.join(
+                e.withColumnRenamed("_g", "_ge"),
+                (F.col(f"n_{qi}") == F.col("src"))
+                & (F.col(f"n_{qj}") == F.col("dst"))
+                & (F.col("_g") == F.col("_ge")),
+            )
+            for ec in edge_cols:
+                cand = cand.where(F.struct("src", "dst", "key") != F.col(ec))
+            branches.append(
+                cand.select(
+                    *base_cols,
+                    "src",
+                    "dst",
+                    "key",
+                    "type",
+                    F.lit("edge").alias("_kind"),
+                    F.lit(qi).alias("_qi"),
+                    F.lit(qj).alias("_qj"),
+                    F.lit(None).cast("string").alias("_dir"),
+                    F.lit(None).cast("long").alias("_vnew"),
+                    F.lit(None).cast("string").alias("_lnew"),
+                )
+            )
+    if not branches:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), branches)
+
+
 def mine_frequent_patterns(
     vertices: DataFrame,
     edges: DataFrame,
@@ -75,6 +176,9 @@ def mine_frequent_patterns(
     min_nodes: int = 1,
     max_nodes: int = 4,
     graph_col: str = "graph_id",
+    start_patterns: list[Pattern] | None = None,
+    with_graph_counts: bool = False,
+    keep_embeddings: bool = False,
 ) -> list[MinedPattern]:
     """Mine frequent patterns from a transactional DB.
 
@@ -82,8 +186,16 @@ def mine_frequent_patterns(
     key, type). Relative ``min_support`` ≤ 1 is a fraction of |DB|
     (reference ``CMiner.py:616-628``). Returns patterns with
     ``min_nodes ≤ |V| ≤ max_nodes`` and ≤ ``max_edges`` edges.
+
+    ``start_patterns``: grow from user patterns localized via the
+    matcher instead of 1-node seeds (reference CMiner.py:469-490).
+    ``with_graph_counts``: aggregate at (extension, graph) grain and
+    fill ``MinedPattern.graph_counts`` (the reference's per-graph
+    ``x`` lines) — collect size grows with |DB|, so off by default.
+    ``keep_embeddings``: retain each pattern's lazy embeddings frame
+    (and the caches it reads) for show_mappings output; the caller
+    owns cache cleanup (``spark.catalog.clearCache()``).
     """
-    spark = edges.sparkSession
     n_graphs = vertices.select(graph_col).distinct().count()
     if min_support <= 1 and isinstance(min_support, float):
         min_support = max(1, int(min_support * n_graphs))
@@ -102,178 +214,190 @@ def mine_frequent_patterns(
 
     results: list[MinedPattern] = []
     seen_codes: set[str] = set()
+    # frontier entries: (pattern, lazy embeddings frame, n_edges)
+    frontier: list[tuple[Pattern, DataFrame, int]] = []
 
-    # --- seed: 1-node patterns by full label set (A2) -----------------
-    seeds = (
-        v.groupBy("lcode")
-        .agg(
-            F.countDistinct("_g").alias("sup"),
-            F.count(F.lit(1)).alias("freq"),
+    def _record(p: Pattern, emb: DataFrame, sup: int, freq: int,
+                gcounts: dict) -> MinedPattern:
+        mp = MinedPattern(
+            p, sup, freq, canonical_code(p),
+            graph_counts=gcounts if with_graph_counts else {},
+            embeddings=emb if keep_embeddings else None,
         )
-        .where(F.col("sup") >= min_support)
-        .collect()
-    )
+        if min_nodes <= len(p.nodes) <= max_nodes:
+            results.append(mp)
+        return mp
 
-    # frontier entries: (pattern, embeddings df with columns _g, n_<id>, e_<i>)
-    frontier: list[tuple[Pattern, DataFrame, int, int]] = []
-    for row in seeds:
-        labels = row["lcode"].split("|") if row["lcode"] else []
-        p = Pattern().add_node("q0", labels)
-        emb = v.where(F.col("lcode") == row["lcode"]).select(
-            "_g", F.col("v_id").alias("n_q0")
+    if start_patterns is None:
+        # --- seed: 1-node patterns by full label set (A2) --------------
+        # one aggregation at (lcode, graph) grain → sup/freq/per-graph
+        # counts derived driver-side from the same collect
+        seed_rows = (
+            v.groupBy("lcode", "_g").agg(F.count(F.lit(1)).alias("cnt")).collect()
         )
-        code = canonical_code(p)
-        seen_codes.add(code)
-        if min_nodes <= 1:
-            results.append(MinedPattern(p, int(row["sup"]), int(row["freq"]), code))
-        frontier.append((p, emb.persist(), int(row["sup"]), 0))
+        per_code: dict[str, dict] = {}
+        for row in seed_rows:
+            d = per_code.setdefault(row["lcode"], {})
+            d[row["_g"]] = int(row["cnt"])
+        for lcode, gcounts in sorted(per_code.items()):
+            if len(gcounts) < min_support:
+                continue
+            labels = lcode.split("|") if lcode else []
+            p = Pattern().add_node("q0", labels)
+            emb = v.where(F.col("lcode") == lcode).select(
+                "_g", F.col("v_id").alias("n_q0")
+            )
+            seen_codes.add(canonical_code(p))
+            _record(p, emb, len(gcounts), sum(gcounts.values()), gcounts)
+            frontier.append((p, emb, 0))
+    else:
+        # --- seed: user patterns localized via the matcher -------------
+        for p in start_patterns:
+            emb = (
+                match(p, edges, vertices, graph_col=graph_col, include_edges=True)
+                .withColumnRenamed(graph_col, "_g")
+                .persist()
+            )
+            grouped = emb.groupBy("_g").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            gcounts = {r["_g"]: int(r["cnt"]) for r in grouped}
+            if len(gcounts) < min_support:
+                emb.unpersist()
+                continue
+            code = canonical_code(p)
+            if code in seen_codes:
+                emb.unpersist()
+                continue
+            seen_codes.add(code)
+            _record(p, emb, len(gcounts), sum(gcounts.values()), gcounts)
+            frontier.append((p, emb, len(p.edges)))
 
-    level = 0
-    while frontier and level < max_edges:
-        level += 1
-        next_frontier: list[tuple[Pattern, DataFrame, int, int]] = []
-        for pattern, emb, _sup, n_edges_so_far in frontier:
-            node_ids = list(pattern.nodes)
-            can_add_node = len(node_ids) < max_nodes
+    group_keys = ["_kind", "_qi", "_qj", "_dir", "type", "_lnew"]
+    prev_caches: list[DataFrame] = []
+    while frontier:
+        next_frontier: list[tuple[Pattern, DataFrame, int]] = []
+        level_caches: list[DataFrame] = []
+        for pattern, emb, n_edges_so_far in frontier:
+            if n_edges_so_far >= max_edges:
+                continue
+            cand = _extension_candidates(pattern, emb, v, e, max_nodes)
+            if cand is None:
+                continue
+            # the union has (#branches × shuffle.partitions) partitions
+            # — coalesce (narrow, no shuffle) back to one wave of tasks
+            # before materializing, or per-task overhead dominates
+            n_part = int(
+                emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            cand = cand.coalesce(n_part)
+            # lineage TRUNCATION, not just caching: children are lazy
+            # filters of cand, so with plain persist() the logical plan
+            # tree grows ~(branches)^level and Catalyst analysis OOMs
+            # by level 4-5. localCheckpoint(eager=False) materializes
+            # cand inside the aggregation job below and re-roots every
+            # child at a LogicalRDD — plans stay O(branches) per level.
+            cand = cand.localCheckpoint(eager=False)
+            level_caches.append(cand)
+            # THE one job per (pattern, level): every extension key's
+            # support + frequency (+ per-graph counts) at once
+            if with_graph_counts:
+                rows = (
+                    cand.groupBy(*group_keys, "_g")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                )
+                stats: dict[tuple, dict] = {}
+                for r in rows:
+                    k = tuple(r[c] for c in group_keys)
+                    stats.setdefault(k, {})[r["_g"]] = int(r["cnt"])
+            else:
+                rows = (
+                    cand.groupBy(*group_keys)
+                    .agg(
+                        F.countDistinct("_g").alias("sup"),
+                        F.count(F.lit(1)).alias("freq"),
+                    )
+                    .where(F.col("sup") >= min_support)
+                    .collect()
+                )
+                stats = {
+                    tuple(r[c] for c in group_keys): {
+                        "__sup__": int(r["sup"]),
+                        "__freq__": int(r["freq"]),
+                    }
+                    for r in rows
+                }
+
             edge_cols = [c for c in emb.columns if c.startswith("e_")]
-
-            for qi in node_ids:
-                for direction in ("out", "in"):
-                    # J6 node extension: join embeddings with edges
-                    # incident to the binding of qi, new endpoint not
-                    # yet bound.
-                    me, other = ("src", "dst") if direction == "out" else ("dst", "src")
-                    cand = emb.join(
-                        e.withColumnRenamed("_g", "_ge"),
-                        (F.col(f"n_{qi}") == F.col(me)) & (F.col("_g") == F.col("_ge")),
+            base_cols = ["_g"] + [f"n_{n}" for n in pattern.nodes] + [
+                F.col(ec) for ec in edge_cols
+            ]
+            for key_tuple in sorted(
+                stats, key=lambda k: tuple("" if x is None else str(x) for x in k)
+            ):
+                kind, qi, qj, direction, etype, lnew = key_tuple
+                gstats = stats[key_tuple]
+                if with_graph_counts:
+                    sup, freq, gcounts = (
+                        len(gstats), sum(gstats.values()), gstats,
                     )
-                    for b in node_ids:
-                        cand = cand.where(F.col(other) != F.col(f"n_{b}"))
-                    for ec in edge_cols:
-                        cand = cand.where(
-                            F.struct("src", "dst", "key") != F.col(ec)
-                        )
-                    if not can_add_node:
+                    if sup < min_support:
                         continue
-                    cand = cand.join(
-                        v.select(
-                            F.col("_g").alias("_gv"),
-                            F.col("v_id").alias("_vnew"),
-                            F.col("lcode").alias("_lnew"),
-                        ),
-                        (F.col(other) == F.col("_vnew"))
-                        & (F.col("_g") == F.col("_gv")),
-                    )
-                    stats = (
-                        cand.groupBy("type", "_lnew")
-                        .agg(F.countDistinct("_g").alias("sup"))
-                        .where(F.col("sup") >= min_support)
-                        .collect()
-                    )
-                    for srow in stats:
-                        new_id = f"q{len(pattern.nodes)}"
-                        labels = srow["_lnew"].split("|") if srow["_lnew"] else []
-                        p2 = Pattern(dict(pattern.nodes), list(pattern.edges))
-                        p2.add_node(new_id, labels)
-                        if direction == "out":
-                            p2.add_edge(qi, new_id, srow["type"])
-                        else:
-                            p2.add_edge(new_id, qi, srow["type"])
-                        code = canonical_code(p2)
-                        if code in seen_codes:
-                            continue
-                        seen_codes.add(code)
-                        emb2 = (
-                            cand.where(
-                                (F.col("type") == srow["type"])
-                                & (F.col("_lnew") == srow["_lnew"])
-                            )
-                            .select(
-                                "_g",
-                                *[F.col(f"n_{n}") for n in pattern.nodes],
-                                *[F.col(ec) for ec in edge_cols],
-                                F.col(other).alias(f"n_{new_id}"),
-                                F.struct("src", "dst", "key").alias(
-                                    f"e_{len(edge_cols)}"
-                                ),
-                            )
-                            .persist()
-                        )
-                        agg = emb2.agg(
-                            F.countDistinct("_g").alias("sup"),
-                            F.count(F.lit(1)).alias("freq"),
-                        ).collect()[0]
-                        mp = MinedPattern(
-                            p2, int(agg["sup"]), int(agg["freq"]), code
-                        )
-                        if len(p2.nodes) >= min_nodes:
-                            results.append(mp)
-                        next_frontier.append(
-                            (p2, emb2, mp.support, n_edges_so_far + 1)
-                        )
+                else:
+                    sup, freq, gcounts = gstats["__sup__"], gstats["__freq__"], {}
 
-            # J7 edge extension (cycle closure) between bound nodes
-            for qi in node_ids:
-                for qj in node_ids:
-                    if qi == qj:
-                        continue
-                    cand = emb.join(
-                        e.withColumnRenamed("_g", "_ge"),
-                        (F.col(f"n_{qi}") == F.col("src"))
-                        & (F.col(f"n_{qj}") == F.col("dst"))
-                        & (F.col("_g") == F.col("_ge")),
+                p2 = Pattern(dict(pattern.nodes), list(pattern.edges),
+                             dict(pattern.node_props))
+                cond = (
+                    (F.col("_kind") == kind)
+                    & (F.col("_qi") == qi)
+                    & (F.col("type") == etype)
+                )
+                if kind == "node":
+                    new_id = _fresh_node_id(pattern)
+                    p2.add_node(new_id, lnew.split("|") if lnew else [])
+                    if direction == "out":
+                        p2.add_edge(qi, new_id, etype)
+                    else:
+                        p2.add_edge(new_id, qi, etype)
+                    cond = cond & (F.col("_dir") == direction) & (
+                        F.col("_lnew") == lnew
                     )
-                    for ec in edge_cols:
-                        cand = cand.where(
-                            F.struct("src", "dst", "key") != F.col(ec)
-                        )
-                    stats = (
-                        cand.groupBy("type")
-                        .agg(F.countDistinct("_g").alias("sup"))
-                        .where(F.col("sup") >= min_support)
-                        .collect()
-                    )
-                    for srow in stats:
-                        p2 = Pattern(dict(pattern.nodes), list(pattern.edges))
-                        p2.add_edge(qi, qj, srow["type"])
-                        code = canonical_code(p2)
-                        if code in seen_codes:
-                            continue
-                        seen_codes.add(code)
-                        emb2 = (
-                            cand.where(F.col("type") == srow["type"])
-                            .select(
-                                "_g",
-                                *[F.col(f"n_{n}") for n in pattern.nodes],
-                                *[F.col(ec) for ec in edge_cols],
-                                F.struct("src", "dst", "key").alias(
-                                    f"e_{len(edge_cols)}"
-                                ),
-                            )
-                            .persist()
-                        )
-                        agg = emb2.agg(
-                            F.countDistinct("_g").alias("sup"),
-                            F.count(F.lit(1)).alias("freq"),
-                        ).collect()[0]
-                        mp = MinedPattern(p2, int(agg["sup"]), int(agg["freq"]), code)
-                        if len(p2.nodes) >= min_nodes:
-                            results.append(mp)
-                        next_frontier.append((p2, emb2, mp.support, n_edges_so_far + 1))
-
-            emb.unpersist()
+                    extra = [
+                        F.col("_vnew").alias(f"n_{new_id}"),
+                        F.struct("src", "dst", "key").alias(f"e_{len(edge_cols)}"),
+                    ]
+                else:
+                    p2.add_edge(qi, qj, etype)
+                    cond = cond & (F.col("_qj") == qj)
+                    extra = [
+                        F.struct("src", "dst", "key").alias(f"e_{len(edge_cols)}")
+                    ]
+                code = canonical_code(p2)
+                if code in seen_codes:
+                    continue
+                seen_codes.add(code)
+                emb2 = cand.where(cond).select(*base_cols, *extra)
+                _record(p2, emb2, sup, freq, gcounts)
+                next_frontier.append((p2, emb2, n_edges_so_far + 1))
+        # this level's aggregations have materialized every child's
+        # inputs — previous-level checkpoint blocks are only referenced
+        # by DataFrames we drop here, so the ContextCleaner reclaims
+        # them on GC (localCheckpoint blocks have no cacheManager entry
+        # to unpersist explicitly)
+        prev_caches = level_caches
         frontier = next_frontier
 
-    for _p, emb, _s, _n in frontier:
-        emb.unpersist()
-    v.unpersist()
-    e.unpersist()
+    if not keep_embeddings:
+        v.unpersist()
+        e.unpersist()
     return results
 
 
 def patterns_to_df(spark, mined: list[MinedPattern]) -> DataFrame:
     """Mined patterns → the result-sink schema of
-    :func:`cminer_spark.sources.data_format.write_patterns_text`."""
+    :func:`cminer_spark.sources.data_format.write_patterns_text`
+    (incl. per-graph ``x``-line counts when mined with
+    ``with_graph_counts=True``)."""
     rows = []
     for i, mp in enumerate(mined):
         node_ids = {n: j for j, n in enumerate(mp.pattern.nodes)}
@@ -287,10 +411,15 @@ def patterns_to_df(spark, mined: list[MinedPattern]) -> DataFrame:
                 ],
                 mp.support,
                 mp.frequency,
+                [
+                    (str(g), int(c))
+                    for g, c in sorted(mp.graph_counts.items(), key=lambda kv: str(kv[0]))
+                ],
             )
         )
     return spark.createDataFrame(
         rows,
         "pattern_id long, vertices array<struct<v_id:long,labels:array<string>>>, "
-        "edges array<struct<src:long,dst:long,type:string>>, support long, frequency long",
+        "edges array<struct<src:long,dst:long,type:string>>, support long, "
+        "frequency long, graph_counts array<struct<graph_id:string,cnt:long>>",
     )

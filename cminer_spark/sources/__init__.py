@@ -1,5 +1,6 @@
 from cminer_spark.sources.data_format import (
     read_data_db,
+    write_mappings_text,
     write_patterns_text,
     parse_pattern_text,
 )
@@ -7,6 +8,7 @@ from cminer_spark.sources.graph_loaders import read_csv_graph_db, read_json_grap
 
 __all__ = [
     "read_data_db",
+    "write_mappings_text",
     "write_patterns_text",
     "parse_pattern_text",
     "read_csv_graph_db",

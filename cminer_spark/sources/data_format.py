@@ -109,7 +109,10 @@ def write_patterns_text(
     text (result sink, CMiner.py:418-446 / :503-516).
 
     ``patterns_df``: (pattern_id, vertices array<struct<v_id,labels>>,
-    edges array<struct<src,dst,type>>, support, frequency).
+    edges array<struct<src,dst,type>>, support, frequency
+    [, graph_counts array<struct<graph_id,cnt>>]).
+    A non-empty ``graph_counts`` adds the reference's per-graph info
+    line ``x (<graph>, <count>) ...`` (CMiner.py:440-442).
     Returns a one-column text DataFrame; writes it when ``path`` given.
     """
     v_lines = F.array_join(
@@ -130,15 +133,61 @@ def write_patterns_text(
         ),
         "\n",
     )
-    block = F.concat_ws(
-        "\n",
+    parts = [
         F.concat(F.lit("t # "), F.col("pattern_id").cast("string")),
         v_lines,
         e_lines,
         F.concat(F.lit("s "), F.col("support").cast("string")),
         F.concat(F.lit("f "), F.col("frequency").cast("string")),
-    )
+    ]
+    if "graph_counts" in patterns_df.columns:
+        x_line = F.when(
+            F.size("graph_counts") > 0,
+            F.concat(
+                F.lit("x "),
+                F.array_join(
+                    F.transform(
+                        "graph_counts",
+                        lambda g: F.concat(
+                            F.lit("("),
+                            g["graph_id"],
+                            F.lit(", "),
+                            g["cnt"].cast("string"),
+                            F.lit(")"),
+                        ),
+                    ),
+                    " ",
+                ),
+            ),
+        )
+        parts.append(x_line)  # concat_ws skips the NULL when empty
+    block = F.concat_ws("\n", *parts)
     out = patterns_df.select(block.alias("value"))
     if path is not None:
         out.coalesce(1).write.mode("overwrite").text(path)
+    return out
+
+
+def write_mappings_text(
+    embeddings: DataFrame, graph_col: str = "_g", path: str | None = None
+) -> DataFrame:
+    """show_mappings output: one line per embedding,
+    ``<graph> {q0: v, q1: v, ...}`` (reference CMiner.py:431-438 prints
+    per-graph mapping dicts). Distributed — mappings never transit the
+    driver."""
+    node_cols = sorted(c for c in embeddings.columns if c.startswith("n_"))
+    body = F.concat_ws(
+        ", ",
+        *[
+            F.concat(F.lit(f"{c[2:]}: "), F.col(c).cast("string"))
+            for c in node_cols
+        ],
+    )
+    out = embeddings.select(
+        F.concat(
+            F.col(graph_col).cast("string"), F.lit(" {"), body, F.lit("}")
+        ).alias("value")
+    )
+    if path is not None:
+        out.write.mode("overwrite").text(path)
     return out

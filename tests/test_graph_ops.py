@@ -10,6 +10,7 @@ from cminer_spark.operators import csr_blocks, degrees, degrees_by_type, hub_ver
 from cminer_spark.operators.graph import (
     induced_subgraph,
     jaccard_similarity,
+    jaccard_similarity_minhash,
     k_hop_neighborhood,
     label_catalog,
 )
@@ -91,3 +92,58 @@ def test_jaccard_exact_values(spark):
     got = {(r.a, r.b): r.jaccard for r in jaccard_similarity(e).collect()}
     assert got[(1, 4)] == 1.0
     assert got[(2, 3)] == 1.0  # N(2)={1,4}=N(3)
+
+
+def test_jaccard_pivot_degree_cap(spark):
+    """max_pivot_degree bounds wedge blow-up: pairs whose only shared
+    neighbors are super-hubs disappear; other pairs keep exact values
+    computed WITHOUT hub wedges."""
+    # hub 100 connected to 1..6; besides that, 1-2 share neighbor 7
+    pairs = [(100, i) for i in range(1, 7)] + [(1, 7), (2, 7)]
+    e = edges_df(spark, pairs)
+    exact = {(r.a, r.b): r.jaccard for r in jaccard_similarity(e).collect()}
+    capped = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_similarity(e, max_pivot_degree=3).collect()
+    }
+    # hub-only pairs (e.g. 3-4 share only hub 100) are dropped
+    assert (3, 4) in exact and (3, 4) not in capped
+    # 1-2 survive via pivot 7 (deg 2 ≤ cap); shared_cnt drops from 2
+    # (hub+7) to 1 (just 7): jaccard = 1/(2+2-1)
+    assert abs(capped[(1, 2)] - 1 / 3) < 1e-9
+    # cap=∞ equals exact
+    uncapped = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_similarity(e, max_pivot_degree=10**9).collect()
+    }
+    assert uncapped == exact
+
+
+def test_jaccard_minhash_estimates(spark):
+    """MinHash-LSH estimate: high-similarity pairs are found and the
+    estimate is within MinHash tolerance of the true Jaccard."""
+    import random
+
+    rng = random.Random(8)
+    pairs = set()
+    # two vertices with near-identical neighborhoods
+    shared = list(range(100, 130))
+    for nb in shared:
+        pairs.add((1, nb))
+        pairs.add((2, nb))
+    pairs.add((1, 200))  # true jaccard(1,2) = 30/31
+    for _ in range(120):
+        a, b = rng.randrange(3, 60), rng.randrange(100, 160)
+        pairs.add((a, b))
+    e = edges_df(spark, sorted(pairs))
+    est = {
+        (r.a, r.b): r.jaccard_est
+        for r in jaccard_similarity_minhash(e, n_hashes=128, bands=32).collect()
+    }
+    assert (1, 2) in est
+    true_j = 30 / 31
+    assert abs(est[(1, 2)] - true_j) < 0.15
+    exact = {(r.a, r.b): r.jaccard for r in jaccard_similarity(e).collect()}
+    # high-sim pairs (j >= 0.8) must all be recalled by the banding
+    high = {k for k, v in exact.items() if v >= 0.8}
+    assert high <= set(est)

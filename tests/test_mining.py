@@ -97,6 +97,139 @@ def test_patterns_to_df_sink_roundtrip(spark, tmp_path):
     assert "s 2" in text and "f 2" in text and "white" in text
 
 
+def test_start_pattern_mining(spark, tmp_path):
+    """Reference brute-force strategy (test/brute_force/main.py:24-68):
+    localize a user start pattern with the matcher and grow from its
+    embeddings (CMiner.py:469-490)."""
+    start = Pattern().add_node("a", ["blue"]).add_node("b", ["yellow"]).add_edge(
+        "a", "b", "white"
+    )
+    mined = _mine(
+        spark, tmp_path, min_support=2, max_edges=2, start_patterns=[start]
+    )
+    # the start pattern itself is frequent (g0, g1) and reported
+    start_code = canonical_code(start)
+    assert any(m.code == start_code and m.support == 2 for m in mined)
+    # it can only grow in g0 (the 3-node chain), support 1 < 2 → no children
+    assert all(len(m.pattern.edges) <= 1 for m in mined)
+    # growth from a start pattern with lower support floor finds the chain
+    mined1 = _mine(
+        spark, tmp_path, min_support=1, max_edges=2, start_patterns=[start]
+    )
+    chain = canonical_code(
+        Pattern()
+        .add_node("a", ["blue"])
+        .add_node("b", ["yellow"])
+        .add_node("c", ["red"])
+        .add_edge("a", "b", "white")
+        .add_edge("b", "c", "white")
+    )
+    assert chain in {m.code for m in mined1}
+    # infrequent start pattern is dropped entirely
+    rare = Pattern().add_node("a", ["green"]).add_node("b", []).add_edge("a", "b", "")
+    assert _mine(spark, tmp_path, min_support=2, start_patterns=[rare]) == []
+
+
+def test_three_copies_recover_whole_graph(spark, tmp_path):
+    """DB of 3 copies of one random graph, minsup 3 ⇒ the whole graph
+    itself is among the mined patterns (mirrors reference
+    test/brute_force/main.py)."""
+    import random
+
+    rng = random.Random(4)
+    n, m = 4, 5
+    nodes = {i: rng.choice(["a", "b"]) for i in range(n)}
+    edges = set()
+    while len(edges) < m:
+        s, d = rng.randrange(n), rng.randrange(n)
+        if s != d:
+            edges.add((s, d))
+    blocks = []
+    for g in range(3):
+        blocks.append(f"t # {g} g{g}")
+        for i, lbl in nodes.items():
+            blocks.append(f"v {i} {lbl}")
+        for s, d in sorted(edges):
+            blocks.append(f"e {s} {d} t")
+    p = tmp_path / "db3.data"
+    p.write_text("\n".join(blocks) + "\n")
+    v, e = read_data_db(spark, str(p))
+    mined = mine_frequent_patterns(
+        v, e, min_support=3, max_edges=m, max_nodes=n, min_nodes=1
+    )
+    whole = Pattern()
+    for i, lbl in nodes.items():
+        whole.add_node(str(i), [lbl])
+    for s, d in sorted(edges):
+        whole.add_edge(str(s), str(d), "t")
+    assert canonical_code(whole) in {mp.code for mp in mined}
+    # every mined pattern is frequent in all 3 copies
+    assert all(mp.support == 3 for mp in mined)
+
+
+def test_graph_counts_and_x_lines(spark, tmp_path):
+    mined = _mine(
+        spark, tmp_path, min_support=2, max_edges=1, min_nodes=2,
+        with_graph_counts=True,
+    )
+    assert len(mined) == 1
+    assert mined[0].graph_counts == {"g0": 1, "g1": 1}
+    df = patterns_to_df(spark, mined)
+    from cminer_spark.sources import write_patterns_text
+
+    text = write_patterns_text(df).collect()[0].value
+    assert "x (g0, 1) (g1, 1)" in text
+
+
+def test_show_mappings_output(spark, tmp_path):
+    mined = _mine(
+        spark, tmp_path, min_support=2, max_edges=1, min_nodes=2,
+        keep_embeddings=True,
+    )
+    from cminer_spark.sources import write_mappings_text
+
+    lines = {r.value for r in write_mappings_text(mined[0].embeddings).collect()}
+    # blue(0) -white-> yellow(1) in g0 and g1
+    assert any(l.startswith("g0 {") and "0" in l for l in lines)
+    assert len(lines) == 2
+    spark.catalog.clearCache()
+
+
+def test_mining_driver_actions_linear_in_patterns(spark, tmp_path, monkeypatch):
+    """Regression for the round-1 driver job storm: driver actions
+    (collect/count round-trips) per (pattern, level) must be O(1) —
+    one unified aggregation — not O(#nodes·2 + #node-pairs +
+    2·#children). Raw Spark-job counts are NOT a proxy (AQE splits one
+    action into a job per shuffle stage), so count actions directly."""
+    from pyspark.sql import DataFrame
+
+    p = tmp_path / "db.data"
+    p.write_text(DB)
+    v, e = read_data_db(spark, str(p))
+
+    actions = {"n": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+
+    def counting_collect(self):
+        actions["n"] += 1
+        return orig_collect(self)
+
+    def counting_count(self):
+        actions["n"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    mined = mine_frequent_patterns(v, e, min_support=1, max_edges=2)
+    # actions: 1 (n_graphs count) + 1 (seed agg) + 1 per pattern that
+    # reaches extension (4 seeds + every 1-edge pattern)
+    n_extended = 4 + len([m for m in mined if len(m.pattern.edges) == 1])
+    budget = 2 + n_extended
+    assert actions["n"] <= budget, (
+        f"{actions['n']} driver actions > budget {budget} (storm regression)"
+    )
+
+
 def test_canonical_code_isomorphism_invariance():
     p1 = (
         Pattern()
@@ -113,3 +246,18 @@ def test_canonical_code_isomorphism_invariance():
     assert canonical_code(p1) == canonical_code(p2)
     p3 = Pattern().add_node("x", ["a"]).add_node("y", ["b"]).add_edge("y", "x", "t")
     assert canonical_code(p1) != canonical_code(p3)
+
+
+def test_mine_cli(spark, tmp_path, capsys):
+    """CLI parity with the reference (main.py:30-47): db support -l -u
+    -o -p, plus x info lines in the sink output."""
+    db = tmp_path / "db.data"
+    db.write_text(DB)
+    pats = tmp_path / "start.txt"
+    pats.write_text("v 0 blue\nv 1 yellow\ne 0 1 white\n")
+    from cminer_spark.__main__ import main
+
+    rc = main(["mine", str(db), "2", "-l", "2", "-u", "3", "-p", str(pats)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "s 2" in out and "f 2" in out and "x (g0, 1) (g1, 1)" in out
