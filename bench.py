@@ -116,7 +116,50 @@ def main() -> None:
     extras["pagerank8_synth_edges_per_sec_per_superstep"] = round(
         n_synth_edges * info2.iterations / queries["pagerank8_synth"], 1
     )
+
+    # degree-capped Jaccard on the hub-heavy synth graph: the wedge
+    # count stays bounded even though hub tools carry ~50% of invokes
+    # (uncapped, one hub of degree d materializes d^2 wedge rows)
+    from cminer_spark.operators.graph import jaccard_similarity
+
+    extras["jaccard_capped_pairs"] = timed(
+        "jaccard_capped_synth",
+        lambda: jaccard_similarity(synth_edges, max_pivot_degree=64).count(),
+    )
     synth_edges.unpersist()
+
+    # frequent-subgraph mining on a deterministic ~150-graph
+    # transactional DB (the reference's OntoUML-db scale): one driver
+    # action per (pattern, level) — the round-1 job-storm regression
+    # stays visible as wall-clock here
+    def run_mine():
+        import random
+
+        from cminer_spark.operators.mining import mine_frequent_patterns
+        from cminer_spark.sources import read_data_db
+
+        rng = random.Random(7)
+        blocks = []
+        labels = ["a", "b", "c", "d"]
+        for g in range(150):
+            blocks.append(f"t # {g} g{g}")
+            n = rng.randint(8, 14)
+            for i in range(n):
+                blocks.append(f"v {i} {rng.choice(labels)}")
+            for _ in range(rng.randint(10, 18)):
+                s, d = rng.randrange(n), rng.randrange(n)
+                if s != d:
+                    blocks.append(f"e {s} {d} {rng.choice('xy')}")
+        path = "/tmp/cminer_bench_db.data"
+        with open(path, "w") as f:
+            f.write("\n".join(blocks) + "\n")
+        v, e = read_data_db(spark, path)
+        mined = mine_frequent_patterns(
+            v, e, min_support=0.3, max_edges=2, max_nodes=3
+        )
+        return len(mined)
+
+    extras["mine_150graphs_patterns"] = timed("mine_150graph_db", run_mine)
 
     total = round(sum(queries.values()), 3)
     result = {

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cminer_spark.pipeline import (
     brute_force_cosine_topk,
+    lsh_bucketed_topk,
     exact_duplicates,
     doc_fingerprint,
     language_id,
@@ -26,6 +27,9 @@ from cminer_spark.pipeline import (
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
+ANN_DIM = 64
+ANN_LSH_PLANES = 4
+ANN_LSH_TABLES = 4
 JACCARD_THRESHOLD = 0.2
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
@@ -68,6 +72,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = brute_force_cosine_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE ANN path (multi-table sign-LSH bucket join + exact
+    re-rank) under the oracle gate: the DuckDB side replicates the
+    same md5-derived hyperplanes, bucket assignment, candidate union
+    and re-rank, so outputs match exactly (this checks the pipeline,
+    not recall — recall vs brute force is pytest-checked)."""
+    out = lsh_bucketed_topk(
+        _embs(spark, sf_dir),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        dim=ANN_DIM,
+        n_planes=ANN_LSH_PLANES,
+        n_tables=ANN_LSH_TABLES,
+    )
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
     )
@@ -230,6 +253,75 @@ WHERE rank <= {ANN_K}
 """
 
 
+def ann_lsh_oracle_sql() -> str:
+    """DuckDB replica of :func:`lsh_bucketed_topk`: the md5-derived
+    hyperplanes are deterministic Python constants (similarity.
+    _hyperplane) inlined as literal rows; bucket = Σ 2^p over planes
+    whose ROUNDED dot (9 dp, matching the engine's cross-engine-stable
+    sign test) is ≥ 0; candidates = same-(table, bucket) union;
+    cosine re-rank identical to the brute-force oracle."""
+    from cminer_spark.pipeline.similarity import _hyperplane
+
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    plane_rows = []
+    for t in range(ANN_LSH_TABLES):
+        for p in range(ANN_LSH_PLANES):
+            vals = _hyperplane(ANN_DIM, p, t)
+            for d, val in enumerate(vals):
+                plane_rows.append(f"({t}, {p}, {d + 1}, {val!r})")
+    planes_values = ",\n".join(plane_rows)
+    return f"""
+WITH exp AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+planes AS MATERIALIZED (
+  SELECT * FROM (VALUES
+{planes_values}
+  ) pl(t, p, i, val)
+),
+bdot AS MATERIALIZED (
+  SELECT e.vec_id, pl.t, pl.p, sum(e.x * pl.val) AS dot
+  FROM exp e JOIN planes pl ON e.i = pl.i
+  GROUP BY e.vec_id, pl.t, pl.p
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN round(dot, 9) >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS b
+  FROM bdot GROUP BY vec_id, t
+),
+qb AS (SELECT vec_id AS query_id, t, b FROM buckets WHERE vec_id IN ({ids})),
+cand AS MATERIALIZED (
+  SELECT DISTINCT qb.query_id, bu.vec_id
+  FROM qb JOIN buckets bu ON qb.t = bu.t AND qb.b = bu.b
+  WHERE bu.vec_id <> qb.query_id
+),
+norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+dots AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, sum(q.x * b.x) AS dot
+  FROM cand c
+  JOIN exp q ON q.vec_id = c.query_id
+  JOIN exp b ON b.vec_id = c.vec_id AND b.i = q.i
+  GROUP BY c.query_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.vec_id
+)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {ANN_K}
+"""
+
+
 TOKEN_COUNTS_SQL = """
 SELECT doc_id,
        len(string_split_regex(text, ' +')) AS n_tokens,
@@ -299,6 +391,7 @@ def queries():
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash48": q_simhash,
         "ann_cosine_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "language_id": q_language_id,
@@ -313,6 +406,7 @@ def oracles():
         "minhash_lsh_candidates": minhash_lsh_oracle_sql(),
         "simhash48": simhash_oracle_sql(),
         "ann_cosine_topk": ann_topk_oracle_sql(),
+        "ann_lsh_topk": ann_lsh_oracle_sql(),
         "token_counts": TOKEN_COUNTS_SQL,
         "quality_stats": QUALITY_STATS_SQL,
         "language_id": language_id_oracle_sql(),

@@ -149,6 +149,8 @@ def match(
     vertices: DataFrame | None = None,
     graph_col: str | None = None,
     include_edges: bool = False,
+    break_symmetry: bool = False,
+    degree_filter: bool | None = None,
 ) -> DataFrame:
     """All injective embeddings of ``pattern``.
 
@@ -160,6 +162,19 @@ def match(
     per query edge — full multigraph Mappings (reference
     ``MultiGraphMatch.py:7-15`` node_mapping + edge_mapping); the
     default projects distinct node embeddings.
+    ``break_symmetry=True`` applies the safe single-orbit anchor
+    condition (G4; see :mod:`cminer_spark.operators.orbits`) — keeps
+    ≥1 representative per automorphism class, dropping within-orbit
+    relabelings. The reference ships this disabled
+    (``BreakingConditions.py`` call sites commented out), so it is
+    opt-in here too.
+    ``degree_filter`` — J3 degree-domain prefilter (reference
+    ``CompatibilityDomain.py:17-48``): a pattern node with several
+    incident edges can only bind target vertices of sufficient
+    out/in degree, so its candidate scans semi-join against
+    degree-qualified vertex sets (semantics-preserving, pure
+    pruning). ``None`` auto-enables when some pattern node has ≥2
+    incident edges.
     """
     if graph_col is None and "graph_id" in edges.columns:
         graph_col = "graph_id"
@@ -175,6 +190,38 @@ def match(
         *([F.col("props")] if needs_edge_props else []),
         *([F.col(graph_col).alias("_g")] if graph_col else []),
     )
+
+    # J3 degree-domain prefilter: per-node (out, in) degree minima
+    # from the pattern's incident-edge counts; vertices below them can
+    # never host the node (reference CompatibilityDomain.py:17-48 —
+    # per-direction totals here, the per-label refinement is the label
+    # semi-join below)
+    incident: dict[str, list[int]] = {}
+    for e in pattern.edges:
+        incident.setdefault(e.src, [0, 0])[0] += 1
+        incident.setdefault(e.dst, [0, 0])[1] += 1
+    if degree_filter is None:
+        degree_filter = any(o + i >= 2 for o, i in incident.values())
+    deg_qualified: dict[str, DataFrame] = {}
+    if degree_filter:
+        gcols = ["_g"] if graph_col else []
+        out_tot = base.groupBy(*gcols, F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        in_tot = base.groupBy(*gcols, F.col("dst").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        for node, (n_out, n_in) in incident.items():
+            if n_out + n_in < 2:
+                continue  # a single incident edge is its own witness
+            q = None
+            if n_out >= 1:
+                f = out_tot.where(F.col("c") >= n_out).select(*gcols, "v")
+                q = f
+            if n_in >= 1:
+                f = in_tot.where(F.col("c") >= n_in).select(*gcols, "v")
+                q = f if q is None else q.join(f, [*gcols, "v"], "left_semi")
+            deg_qualified[node] = q
 
     def candidates(qe: PatternEdge, idx: int) -> DataFrame:
         c = base
@@ -219,6 +266,14 @@ def match(
                         ["_g"] if graph_col and "_g" in vs.columns else []
                     )
                     c = c.join(vs, on, "left_semi")
+        for node in {qe.src, qe.dst}:
+            dq = deg_qualified.get(node)
+            if dq is not None:
+                c = c.join(
+                    dq.withColumnRenamed("v", f"n_{node}"),
+                    [f"n_{node}", *(["_g"] if graph_col else [])],
+                    "left_semi",
+                )
         return c
 
     order = _order_edges(pattern)
@@ -247,6 +302,14 @@ def match(
                 prev_nodes = [c for c in emb.columns if c.startswith("n_") and c != f"n_{node}"]
                 for p in prev_nodes:
                     emb = emb.where(F.col(p) != F.col(f"n_{node}"))
+        if break_symmetry:
+            from cminer_spark.operators.orbits import symmetry_breaking_predicate
+
+            cond = symmetry_breaking_predicate(pattern)
+            if cond is not None:
+                anchor, others = cond
+                for o in others:
+                    emb = emb.where(F.col(f"n_{anchor}") < F.col(f"n_{o}"))
         return _finalize(emb, pattern, graph_col, 0, include_edges=False)
 
     emb = candidates(order[0], 0)
@@ -292,6 +355,14 @@ def match(
             emb = emb.where(F.col(f"n_{n}") != F.col(f"n_{b}"))
         bound_nodes.add(n)
 
+    if break_symmetry:
+        from cminer_spark.operators.orbits import symmetry_breaking_predicate
+
+        cond = symmetry_breaking_predicate(pattern)
+        if cond is not None:
+            anchor, others = cond
+            for o in others:
+                emb = emb.where(F.col(f"n_{anchor}") < F.col(f"n_{o}"))
     return _finalize(emb, pattern, graph_col, len(order), include_edges)
 
 

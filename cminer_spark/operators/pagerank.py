@@ -67,6 +67,7 @@ def pagerank(
     checkpoint: SuperstepCheckpoint | None = None,
     salt_partitions: int | None = None,
     weight_col: str = "weight",
+    use_csr: bool = False,
 ) -> tuple[DataFrame, PageRankInfo]:
     """Run PageRank on ``edges(src, dst[, weight])``.
 
@@ -75,6 +76,11 @@ def pagerank(
     detected; 0/1 = off; k>1 = two-stage salted aggregation.
     ``tol <= 0`` runs exactly ``max_iter`` supersteps with no
     convergence aggregate (fixed-k mode).
+    ``use_csr``: gather from row-per-source CSR adjacency blocks
+    (:func:`cminer_spark.operators.graph.csr_blocks` shape) — the rank
+    join probes |V| wide rows instead of |E| flat rows, the |E|-sized
+    explode happens map-side after the join. A/B timings live in
+    BENCH/BASELINE.md; the flat representation is the default.
     Returns ``(ranks(v_id, rank), info)``.
     """
     import time
@@ -92,17 +98,23 @@ def pagerank(
     # src so per-superstep joins shuffle only the rank side.
     adj_w = pairs.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     out_w = adj_w.groupBy("src").agg(F.sum("w").alias("out_w"))
-    adj = (
-        adj_w.join(out_w, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("w") / F.col("out_w")).alias("p"),
-        )
-        .repartition(shuffle_parts, "src")
-        .persist()
+    norm = adj_w.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     )
-    info.n_edges = adj.count()
+    if use_csr:
+        # CSR adjacency blocks (graph.csr_blocks shape): one row per
+        # source, neighbor list inline, range-partitioned by src
+        adj = (
+            norm.repartitionByRange(shuffle_parts, "src")
+            .sortWithinPartitions("src", "dst")
+            .groupBy("src")
+            .agg(F.collect_list(F.struct("dst", "p")).alias("adj"))
+            .persist()
+        )
+        info.n_edges = adj.agg(F.sum(F.size("adj"))).collect()[0][0] or 0
+    else:
+        adj = norm.repartition(shuffle_parts, "src").persist()
+        info.n_edges = adj.count()
 
     verts = pairs.select(F.col("src").alias("v_id")).union(
         pairs.select(F.col("dst").alias("v_id"))
@@ -123,7 +135,10 @@ def pagerank(
     # reducer key).
     if salt_partitions is None:
         hot_bar = max(10 * info.n_edges // max(shuffle_parts, 1), 1000)
-        max_in = adj.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+        in_deg_src = norm if use_csr else adj
+        max_in = (
+            in_deg_src.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+        )
         salt_partitions = 16 if (max_in or 0) > hot_bar else 1
     info.salted = salt_partitions > 1
     if info.salted:
@@ -157,21 +172,34 @@ def pagerank(
         # scan with unknown stats, so Catalyst would fall back to a
         # sort-merge join and RE-SORT the cached adjacency every
         # superstep (observed in explain()).
-        contribs = adj.join(
+        joined = adj.join(
             state.select(F.col("v_id").alias("src"), "rank").hint("shuffle_hash"),
             "src",
         )
+        salt_cols = ["salt"] if info.salted else []
+        if use_csr:
+            # |V|-row join above; the |E|-sized scatter is a map-side
+            # explode after it
+            contribs = joined.select(
+                *salt_cols, F.col("rank"), F.explode("adj").alias("a")
+            ).select(
+                *salt_cols,
+                F.col("a.dst").alias("dst"),
+                (F.col("a.p") * F.col("rank")).alias("m"),
+            )
+        else:
+            contribs = joined.select(
+                *salt_cols, "dst", (F.col("p") * F.col("rank")).alias("m")
+            )
         if info.salted:
             sums = (
                 contribs.groupBy("dst", "salt")
-                .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+                .agg(F.sum("m").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("in_mass"))
             )
         else:
-            sums = contribs.groupBy("dst").agg(
-                F.sum(F.col("p") * F.col("rank")).alias("in_mass")
-            )
+            sums = contribs.groupBy("dst").agg(F.sum("m").alias("in_mass"))
 
         # dangling mass via the conservation invariant: 1-row broadcast
         # cross join, computed in-plan from sums. sums is persisted for
@@ -207,22 +235,30 @@ def pagerank(
             )
         )
 
-        # Truncate lineage first; the optional convergence aggregate
-        # then reads the materialized blocks instead of recomputing.
+        # The L1 convergence delta rides the state write for free:
+        # df.observe() computes it inside the write job, so convergence
+        # mode no longer pays a second scan of the saved state per
+        # superstep (round-1 fixed-cost finding). rank_prev is consumed
+        # by the observation and never written.
+        obs = None
+        to_save = new_state
+        if check_convergence:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"pr_l1_{it}")
+            to_save = new_state.observe(
+                obs, F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("d")
+            ).select("v_id", "rank")
         if checkpoint is not None:
             saved = checkpoint.save(
-                it, new_state, {"tol": tol, "damping": damping}
+                it, to_save, {"tol": tol, "damping": damping}
             )
         else:
-            saved = store.save(new_state, it)
+            saved = store.save(to_save, it)
 
         info.iterations = it
         if check_convergence:
-            delta = float(
-                saved.agg(
-                    F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("d")
-                ).collect()[0]["d"]
-            )
+            delta = float(obs.get["d"])
             info.deltas.append(delta)
             if checkpoint is not None:
                 checkpoint.update_metrics(it, {"l1_delta": delta})

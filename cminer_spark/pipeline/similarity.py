@@ -48,11 +48,16 @@ def brute_force_cosine_topk(
     """Exact top-k cosine neighbors for each query id:
     ``(query_id, rank, vec_id, cosine)``; deterministic tie-break on
     (cosine desc, vec_id asc)."""
+    # norms are hoisted into the (tiny) query frame and the base scan —
+    # computed once per vector, not once per (query × candidate) pair
     base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    )
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("vn", _norm(F.col("v")))
     queries = base.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
     scored = (
         base.crossJoin(F.broadcast(queries))
@@ -60,7 +65,7 @@ def brute_force_cosine_topk(
         .select(
             "query_id",
             "vec_id",
-            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias(
                 "cosine"
             ),
         )
@@ -86,12 +91,19 @@ def _hyperplane(dim: int, plane_idx: int, table_idx: int = 0) -> list[float]:
 
 
 def lsh_bucket(vec_col, dim: int, n_planes: int = 8, table_idx: int = 0) -> F.Column:
-    """Sign-LSH bucket id (0..2^n_planes-1) of an embedding column."""
+    """Sign-LSH bucket id (0..2^n_planes-1) of an embedding column.
+
+    The sign test uses the dot product ROUNDED to 9 decimals so the
+    bucket id is stable across summation orders (engines/partitionings
+    differ in the last ulp; a raw ``>= 0`` could flip a near-zero dot).
+    """
     bucket = F.lit(0)
     v = _as_double(vec_col)
     for p in range(n_planes):
         plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, table_idx)])
-        bucket = bucket + F.when(_dot(v, plane) >= 0, F.lit(2**p)).otherwise(0)
+        bucket = bucket + F.when(
+            F.round(_dot(v, plane), 9) >= 0, F.lit(2**p)
+        ).otherwise(0)
     return bucket
 
 
@@ -126,24 +138,26 @@ def lsh_bucketed_topk(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
+        _norm(_as_double(F.col(vec_col))).alias("vn"),  # once per vector
         F.explode(buckets).alias("tb"),
-    ).select("vec_id", "v", "tb.t", "tb.b")
+    ).select("vec_id", "v", "vn", "tb.t", "tb.b")
     queries = base.where(F.col("vec_id").isin([int(q) for q in query_ids])).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
         "t",
         "b",
     )
     cands = (
         base.join(F.broadcast(queries), ["t", "b"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", "vec_id", "v")
+        .select("query_id", "qv", "qn", "vec_id", "v", "vn")
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cands.select(
         "query_id",
         "vec_id",
-        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias(
             "cosine"
         ),
     )

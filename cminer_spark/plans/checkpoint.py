@@ -22,10 +22,13 @@ Layout::
     <dir>/iter=<i>/...parquet      # state
     <dir>/meta/iter_<i>.json       # commit marker + lineage + metrics
 
-Local filesystem paths here; on a cluster the same layout lands on
-object storage (the code only uses ``DataFrame.write`` and JSON
-sidecars, both object-store-safe) or an Iceberg table keyed by
-iteration.
+Path support: the parquet state goes through ``DataFrame.write`` and
+works on any Hadoop-supported filesystem, but the JSON commit-marker
+sidecars use Python ``os``/``open`` — the checkpoint directory must
+therefore be a LOCAL or shared-POSIX (NFS) path. For object stores
+(s3a://, gs://), route the sidecar I/O through the Hadoop FileSystem
+API (``spark._jvm.org.apache.hadoop.fs.FileSystem``) or keep markers
+in an Iceberg table keyed by iteration; not implemented here.
 """
 
 from __future__ import annotations

@@ -13,10 +13,19 @@ Format parity with the reference (parser
 
 Implemented as a distributed scan: ``spark.read.text`` + a window
 that assigns each line to the most recent ``t`` header — no driver
-parsing, so a 100 TB ``.data`` dump loads like any other table. The
-graph-id assignment orders lines by (file, byte-ish line index) via
-``monotonically_increasing_id`` over each file partition — correct
-because text-file splits preserve line order within a file.
+parsing. Parallelism note: the header-assignment window partitions by
+FILE, so the scan parallelizes across files (the reference's DB
+layout — many transaction files — loads fully parallel) but a single
+huge ``.data`` file serializes through one task; split such dumps
+upstream, or extend this with split-relative offsets from the
+``_metadata`` columns. Line order within a file is preserved via
+``monotonically_increasing_id`` over the file's partition.
+
+Node ids: the gSpan-style format uses integer ids; the reference
+loader happens to keep them as strings
+(``NetworksLoading.py:81-124``), this engine's tables use ``long``
+ids throughout. Non-numeric ids raise an explicit error (try_cast +
+raise_error) instead of a bare ANSI CAST failure.
 """
 
 from __future__ import annotations
@@ -56,18 +65,31 @@ def read_data_db(
         ).over(w),
     )
 
+    def _num_id(tok: F.Column) -> F.Column:
+        # explicit error for non-numeric ids (format restriction
+        # documented above) instead of an opaque ANSI CAST failure
+        return F.when(
+            tok.try_cast("long").isNull() & tok.isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("read_data_db: non-numeric node id in .data file: "),
+                    tok,
+                )
+            ).cast("long"),
+        ).otherwise(tok.try_cast("long"))
+
     vertices = (
         tagged.where(F.col("kind") == "v")
         .select(
             "graph_id",
-            F.get("toks", 1).cast("long").alias("v_id"),
+            _num_id(F.get("toks", 1)).alias("v_id"),
             F.sort_array(F.slice("toks", 3, 1000)).alias("labels"),
         )
     )
     edge_rows = tagged.where(F.col("kind") == "e").select(
         "graph_id",
-        F.get("toks", 1).cast("long").alias("src"),
-        F.get("toks", 2).cast("long").alias("dst"),
+        _num_id(F.get("toks", 1)).alias("src"),
+        _num_id(F.get("toks", 2)).alias("dst"),
         F.coalesce(F.get("toks", 3), F.lit("")).alias("type"),
         "pos",
     )

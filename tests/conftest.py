@@ -12,6 +12,16 @@ if str(REPO) not in sys.path:
 from cminer_spark import get_spark  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-iceberg",
+        action="store_true",
+        default=False,
+        help="run the Iceberg catalog round-trip (needs the Iceberg "
+        "runtime jar + spark.sql.catalog.ice configured)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("cminer-tests", master="local[4]", shuffle_partitions=8)

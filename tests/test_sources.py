@@ -156,3 +156,16 @@ def test_data_roundtrip_through_sink(spark, tmp_path):
     v, e = read_data_db(spark, str(out))
     assert {r.v_id for r in v.collect()} == {0, 1}
     assert {(r.src, r.dst, r.type) for r in e.collect()} == {(0, 1, "t"), (1, 0, "u")}
+
+
+def test_data_db_non_numeric_id_raises(spark, tmp_path):
+    """Non-numeric node ids raise an explicit error (documented format
+    restriction) rather than an opaque ANSI CAST failure."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    p = tmp_path / "bad.data"
+    p.write_text("t # 0 g0\nv abc blue\n")
+    v, _e = read_data_db(spark, str(p))
+    with pytest.raises(PySparkException, match="non-numeric node id"):
+        v.collect()
