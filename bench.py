@@ -53,7 +53,9 @@ def main() -> None:
         extra_conf={
             # pre-touched heap: heap growth otherwise dominates early
             # superstep timings (see BENCH/BASELINE.md)
-            "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch",
+            "spark.driver.extraJavaOptions": (
+                f"-Xms{os.environ.get('BENCH_XMS', '16g')} -XX:+AlwaysPreTouch"
+            ),
         },
     )
     entrymod._ship_package(spark)

@@ -125,3 +125,41 @@ def test_frame_sample_plan(spark):
     assert all(r.sample_ms % 500 == 0 for r in rows)
     kinds = synth_media(spark, n=9).where(F.col("kind") == "video").count()
     assert plan.select("media_id").distinct().count() == kinds
+
+
+def test_cosine_near_duplicates_recall_quantified(spark):
+    """Quantified recall of the LSH-bucketed near-dup pass vs the exact
+    threshold pairs: plant perturbed copies (cos > 0.97) and require
+    >= 0.9 recall at n_planes=4 (single-table; more planes trade recall
+    for candidate volume)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a strongly-perturbed near-duplicate of each vector
+        nd = v + rng.normal(scale=0.08, size=64)
+        rows.append((1000 + i, [float(x) for x in nd]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # exact reference via brute force in numpy
+    import itertools
+
+    vecs = {i: np.array(v) for i, v in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if cos >= 0.97:
+            want.add((a, b))
+    assert len(want) >= 30  # the planted pairs are present
+
+    got = {
+        (r.a, r.b)
+        for r in cosine_near_duplicates(embs, threshold=0.97, n_planes=4).collect()
+    }
+    assert got <= want  # no false positives (exact re-check inside)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"recall {recall:.2f}"
