@@ -186,6 +186,99 @@ def _q_match_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match(p, edges, verts).select("n_u", "n_v")
 
 
+def _q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 BFS k-hop neighborhood (reference Graph.py:184-210) from the
+    tool_0 hub vertex, undirected, k=2 — iterative frontier semi-joins."""
+    from cminer_spark.operators.graph import k_hop_neighborhood
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    seeds = spark.createDataFrame([(gate.KHOP_SEED,)], "v_id long")
+    return k_hop_neighborhood(edges, seeds, k=gate.KHOP_K, directed=False)
+
+
+def _q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 induced subgraph (reference Graph.py:607-623): double
+    semi-join against the vertex set {v : v % 3 == 0}."""
+    from cminer_spark.operators.graph import induced_subgraph
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    vs = (
+        edges.selectExpr("src AS v_id")
+        .union(edges.selectExpr("dst AS v_id"))
+        .distinct()
+        .where(F.col("v_id") % 3 == 0)
+    )
+    _v, e = induced_subgraph(edges, vs)
+    return e.select("src", "dst", "type")
+
+
+def _q_mine_edge_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mining growth loop (G5/A1/A2, reference CMiner.py:492-583)
+    on the per-conversation transactional DB: frequent single-edge
+    patterns, reshaped to (src_label, etype, dst_label, support,
+    frequency) — SQL-expressible at max_edges=1, so the whole
+    seed→extend→support→dedup pipeline is oracle-checked."""
+    from cminer_spark.operators.mining import mine_frequent_patterns
+
+    _ship_package(spark)
+    t = gate.transcripts_df(spark, sf_dir)
+    turn_id = F.col("user_id") * 100000 + F.col("turn_idx")
+    tool_id = F.lit(1_000_000_000) + F.col("event_id") % 7
+    turn_v = t.select(
+        F.col("conv_id").alias("graph_id"),
+        turn_id.alias("v_id"),
+        F.array("role").alias("labels"),
+    )
+    tool_v = (
+        t.where(F.col("tool").isNotNull())
+        .select(
+            F.col("conv_id").alias("graph_id"),
+            tool_id.alias("v_id"),
+            F.array(F.lit("tool")).alias("labels"),
+        )
+        .distinct()
+    )
+    reply_e = t.where(F.col("turn_idx") > 0).select(
+        F.col("conv_id").alias("graph_id"),
+        turn_id.alias("src"),
+        (turn_id - 1).alias("dst"),
+        F.lit(0).alias("key"),
+        F.lit("replies_to").alias("type"),
+    )
+    invoke_e = t.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("graph_id"),
+        turn_id.alias("src"),
+        tool_id.alias("dst"),
+        F.lit(0).alias("key"),
+        F.lit("invokes").alias("type"),
+    )
+    mined = mine_frequent_patterns(
+        turn_v.union(tool_v),
+        reply_e.union(invoke_e),
+        min_support=gate.MINE_MINSUP,
+        max_edges=1,
+        min_nodes=2,
+        max_nodes=2,
+    )
+    rows = []
+    for mp in mined:
+        e = mp.pattern.edges[0]
+        rows.append(
+            (
+                mp.pattern.nodes[e.src][0],
+                e.type,
+                mp.pattern.nodes[e.dst][0],
+                mp.support,
+                mp.frequency,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "src_label string, etype string, dst_label string, "
+        "support long, frequency long",
+    )
+
+
 def _q_support_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 support aggregate (reference CMiner.py:174-227): group key ≈
     extension code, support = #distinct transactions, HAVING minsup."""
@@ -254,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_wedge": _q_match_wedge,
         "match_path3": _q_match_path3,
         "match_props": _q_match_props,
+        "k_hop2": _q_k_hop,
+        "induced_subgraph": _q_induced_subgraph,
+        "mine_edge_patterns": _q_mine_edge_patterns,
         "support_count": _q_support_count,
         "label_catalog": _q_label_catalog,
         "tpch_q1": _q_tpch_q1,
@@ -275,6 +371,9 @@ def oracle_sql() -> dict[str, str]:
         "match_wedge": gate.match_wedge_oracle_sql(),
         "match_path3": gate.match_path3_oracle_sql(),
         "match_props": gate.match_props_oracle_sql(),
+        "k_hop2": gate.k_hop_oracle_sql(),
+        "induced_subgraph": gate.induced_subgraph_oracle_sql(),
+        "mine_edge_patterns": gate.mine_edge_patterns_oracle_sql(),
         "jaccard_similarity": gate.jaccard_oracle_sql(),
         "support_count": """
             SELECT l_returnflag, l_linestatus,

@@ -25,6 +25,22 @@ import json
 import sys
 
 
+def _session(name: str, master: str | None):
+    """CLI session, library-friendly: ``getOrCreate`` joins an already
+    active session (e.g. when ``main()`` is invoked in-process from a
+    host application or test), in which case the CLI must NOT stop it
+    on exit — only sessions this CLI itself created get stopped."""
+    from pyspark.sql import SparkSession
+
+    from cminer_spark import get_spark
+
+    owned = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
+    return get_spark(name, master=master), owned
+
+
 def _main_mine(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(prog="cminer_spark mine")
     ap.add_argument("db_file", type=str, help="path to .data graph db")
@@ -38,7 +54,6 @@ def _main_mine(argv: list[str]) -> int:
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    from cminer_spark import get_spark
     from cminer_spark.operators.mining import mine_frequent_patterns, patterns_to_df
     from cminer_spark.sources import (
         parse_pattern_text,
@@ -47,7 +62,7 @@ def _main_mine(argv: list[str]) -> int:
         write_patterns_text,
     )
 
-    spark = get_spark("cminer-mine", master=args.master)
+    spark, owned = _session("cminer-mine", args.master)
     v, e = read_data_db(spark, args.db_file)
     start = None
     if args.patterns_path:
@@ -81,7 +96,8 @@ def _main_mine(argv: list[str]) -> int:
             print(r.value)
             print("-")
     print(json.dumps({"patterns": len(mined)}), file=sys.stderr)
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
@@ -106,7 +122,6 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    from cminer_spark import get_spark
     from cminer_spark.operators import (
         connected_components,
         extract_edges,
@@ -117,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
     from cminer_spark.plans import SuperstepCheckpoint
     from cminer_spark.sources.tables import read_table, write_table
 
-    spark = get_spark("cminer-run", master=args.master)
+    spark, owned = _session("cminer-run", args.master)
     if args.edges:
         edges = read_table(spark, args.edges)
     elif args.transcripts:
@@ -160,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
 
     write_table(out, args.output)
     print(json.dumps(meta))
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 

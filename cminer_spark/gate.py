@@ -29,6 +29,9 @@ DAMPING = 0.85
 PR_ITERS = 5
 CC_ROUNDS = 10
 LPA_ROUNDS = 3
+KHOP_K = 2
+KHOP_SEED = 1_000_000_000  # tool_0 vertex
+MINE_MINSUP = 8
 
 # ----------------------------------------------------------------------
 # Shared portable SQL fragments (run verbatim on Spark AND DuckDB)
@@ -304,6 +307,67 @@ wdg AS (SELECT e1.v AS a, e2.v AS b, count(*) AS shared_cnt
 SELECT w.a, w.b,
        round(CAST(w.shared_cnt AS DOUBLE) / (da.dg + db.dg - w.shared_cnt), 6) AS jaccard
 FROM wdg w JOIN deg da ON w.a = da.v JOIN deg db ON w.b = db.v"""
+    )
+
+
+def k_hop_oracle_sql(k: int = KHOP_K, seed: int = KHOP_SEED) -> str:
+    """G2 BFS k-hop neighborhood (reference ``Graph.py:184-210``):
+    visited set unrolled k rounds — vis_i = vis_{i-1} ∪ N(vis_{i-1})
+    over the symmetric simple projection (UNION dedups)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""",
+vis0 AS (SELECT CAST({seed} AS BIGINT) AS v_id)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+vis{i} AS (SELECT v_id FROM vis{i-1}
+           UNION
+           SELECT s.v AS v_id FROM sym s JOIN vis{i-1} f ON s.u = f.v_id)"""
+        )
+    parts.append(f"\nSELECT v_id FROM vis{k}")
+    return _materialize("".join(parts))
+
+
+def induced_subgraph_oracle_sql() -> str:
+    """G1 induced subgraph (reference ``Graph.py:607-623``): edges with
+    BOTH endpoints in the vertex set {v : v % 3 = 0} — the Spark side
+    runs the double semi-join against that set materialized as a
+    DataFrame; set membership reduces to the defining predicate."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """
+SELECT src, dst, type FROM edges WHERE src % 3 = 0 AND dst % 3 = 0"""
+    )
+
+
+def mine_edge_patterns_oracle_sql(min_support: int = MINE_MINSUP) -> str:
+    """Full mining loop (G5/A1/A2) gate, SQL-expressible fragment: on
+    the per-conversation transactional DB (one graph per conv_id,
+    turn vertices labeled by role, tool vertices labeled 'tool'),
+    every frequent single-edge pattern is exactly a frequent
+    (src_label, edge_type, dst_label) triple; support = #distinct
+    graphs, frequency = #embeddings = #matching edges (no self-loops
+    in this DB, so injectivity is free)."""
+    return _materialize(
+        f"WITH {TRANSCRIPTS_CTE}"
+        f""",
+e_lab AS (
+  SELECT a.conv_id AS g, a.role AS src_label,
+         'replies_to' AS etype, b.role AS dst_label
+  FROM tr a JOIN tr b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx + 1
+  UNION ALL
+  SELECT conv_id AS g, role AS src_label, 'invokes' AS etype,
+         'tool' AS dst_label
+  FROM tr WHERE tool IS NOT NULL
+)
+SELECT src_label, etype, dst_label,
+       count(DISTINCT g) AS support, count(*) AS frequency
+FROM e_lab
+GROUP BY src_label, etype, dst_label
+HAVING count(DISTINCT g) >= {min_support}"""
     )
 
 

@@ -30,6 +30,11 @@ ANN_K = 10
 ANN_DIM = 64
 ANN_LSH_PLANES = 4
 ANN_LSH_TABLES = 4
+# sf0.01 synth embeddings carry no true near-duplicates (max pairwise
+# cosine ≈ 0.51), so the gate thresholds at the top of the observed
+# similarity range — it checks the bucket→score→filter pipeline, not
+# recall (recall on planted dups is pytest-checked, test_pipeline.py)
+NEARDUP_THRESHOLD = 0.35
 JACCARD_THRESHOLD = 0.2
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
@@ -93,6 +98,42 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table LSH embedding near-duplicates (the 100 TB near-dup
+    scale path: bucket equi-join, never all-pairs) under the oracle
+    gate — same inlined-hyperplane replication trick as ann_lsh."""
+    from cminer_spark.pipeline.similarity import cosine_near_duplicates
+
+    return cosine_near_duplicates(
+        _embs(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        dim=ANN_DIM,
+        n_planes=ANN_LSH_PLANES,
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal Arrow kernel end-to-end on driver data: documents →
+    deterministic binary payloads → mapInPandas feature extraction.
+    The gate compares (media_id, kind, n_bytes); the 16-d feature
+    vector math is pytest-checked (not SQL-expressible byte-wise)."""
+    from cminer_spark.pipeline.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    )
+    out = extract_features(media, fake=True)
+    return out.select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
     )
 
 
@@ -322,6 +363,72 @@ WHERE rank <= {ANN_K}
 """
 
 
+def neardup_oracle_sql() -> str:
+    """DuckDB replica of :func:`cosine_near_duplicates`: single-table
+    (t=0) sign-LSH buckets from the same inlined md5-derived
+    hyperplanes; pairs share a bucket, threshold on round(cosine, 9)
+    exactly as the engine does."""
+    from cminer_spark.pipeline.similarity import _hyperplane
+
+    plane_rows = []
+    for p in range(ANN_LSH_PLANES):
+        vals = _hyperplane(ANN_DIM, p, 0)
+        for d, val in enumerate(vals):
+            plane_rows.append(f"({p}, {d + 1}, {val!r})")
+    planes_values = ",\n".join(plane_rows)
+    return f"""
+WITH exp AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+planes AS MATERIALIZED (
+  SELECT * FROM (VALUES
+{planes_values}
+  ) pl(p, i, val)
+),
+bdot AS MATERIALIZED (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.val) AS dot
+  FROM exp e JOIN planes pl ON e.i = pl.i
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN round(dot, 9) >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS b
+  FROM bdot GROUP BY vec_id
+),
+norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+cand AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y ON x.b = y.b AND x.vec_id < y.vec_id
+),
+dots AS MATERIALIZED (
+  SELECT c.a, c.b, sum(xa.x * xb.x) AS dot
+  FROM cand c
+  JOIN exp xa ON xa.vec_id = c.a
+  JOIN exp xb ON xb.vec_id = c.b AND xb.i = xa.i
+  GROUP BY c.a, c.b
+)
+SELECT a, b, round(cosine, 6) AS cosine
+FROM (
+  SELECT d.a, d.b, d.dot / (na.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a
+  JOIN norms nb ON nb.vec_id = d.b
+) s
+WHERE round(cosine, 9) >= {NEARDUP_THRESHOLD}
+"""
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS kind,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes
+FROM documents
+"""
+
+
 TOKEN_COUNTS_SQL = """
 SELECT doc_id,
        len(string_split_regex(text, ' +')) AS n_tokens,
@@ -392,6 +499,8 @@ def queries():
         "simhash48": q_simhash,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "cosine_near_dups": q_cosine_near_dups,
+        "media_features": q_media_features,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "language_id": q_language_id,
@@ -407,6 +516,8 @@ def oracles():
         "simhash48": simhash_oracle_sql(),
         "ann_cosine_topk": ann_topk_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
+        "cosine_near_dups": neardup_oracle_sql(),
+        "media_features": MEDIA_FEATURES_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
         "quality_stats": QUALITY_STATS_SQL,
         "language_id": language_id_oracle_sql(),

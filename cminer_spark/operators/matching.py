@@ -151,6 +151,7 @@ def match(
     include_edges: bool = False,
     break_symmetry: bool = False,
     degree_filter: bool | None = None,
+    prefilter_catalog: bool = False,
 ) -> DataFrame:
     """All injective embeddings of ``pattern``.
 
@@ -175,9 +176,20 @@ def match(
     degree-qualified vertex sets (semantics-preserving, pure
     pruning). ``None`` auto-enables when some pattern node has ≥2
     incident edges.
+    ``prefilter_catalog`` — F1 early-abort label-catalog check
+    (reference ``MultiGraphMatch.py:233-240``): collect the target's
+    tiny distinct edge-type / node-label catalogs (one small
+    aggregate each) and, if the pattern requires a type or label the
+    target has nowhere, return the empty embeddings frame WITHOUT
+    building or running the join pipeline. Opt-in because it makes
+    ``match`` eager (it runs the catalog jobs at call time); the lazy
+    path gets the same pruning from the label-selective scans, just
+    not the abort.
     """
     if graph_col is None and "graph_id" in edges.columns:
         graph_col = "graph_id"
+    if prefilter_catalog and _catalog_miss(pattern, edges, vertices):
+        return _empty_embeddings(pattern, edges, graph_col, include_edges)
     key = F.col("key") if "key" in edges.columns else F.lit(0)
     needs_edge_props = any(e.props for e in pattern.edges)
     if needs_edge_props and "props" not in edges.columns:
@@ -364,6 +376,60 @@ def match(
             for o in others:
                 emb = emb.where(F.col(f"n_{anchor}") < F.col(f"n_{o}"))
     return _finalize(emb, pattern, graph_col, len(order), include_edges)
+
+
+def _catalog_miss(
+    pattern: Pattern, edges: DataFrame, vertices: DataFrame | None
+) -> bool:
+    """True when the pattern requires an edge type or node label the
+    target carries NOWHERE — the reference's abort-early prefilter
+    (``MultiGraphMatch.py:233-240``). Both catalogs are tiny distinct
+    aggregates (label cardinality, not data cardinality)."""
+    req_types = {e.type for e in pattern.edges if e.type != WILDCARD}
+    if req_types:
+        have = {
+            r["type"]
+            for r in edges.select("type").where(
+                F.col("type").isin(sorted(req_types))
+            ).distinct().collect()
+        }
+        if req_types - have:
+            return True
+    req_labels = {l for ls in pattern.nodes.values() for l in ls}
+    if req_labels and vertices is not None:
+        have = {
+            r["label"]
+            for r in vertices.select(F.explode("labels").alias("label"))
+            .where(F.col("label").isin(sorted(req_labels)))
+            .distinct()
+            .collect()
+        }
+        if req_labels - have:
+            return True
+    return False
+
+
+def _empty_embeddings(
+    pattern: Pattern,
+    edges: DataFrame,
+    graph_col: str | None,
+    include_edges: bool,
+) -> DataFrame:
+    """Empty frame with the exact schema ``match`` would produce."""
+    spark = edges.sparkSession
+    dt = dict(edges.dtypes)
+    v_t = dt.get("src", "long")
+    k_t = dt.get("key", "int")
+    fields = []
+    if graph_col:
+        fields.append(f"{graph_col} {dt.get(graph_col, 'string')}")
+    fields += [f"n_{n} {v_t}" for n in pattern.nodes]
+    if include_edges:
+        fields += [
+            f"e_{i} struct<src:{v_t},dst:{v_t},key:{k_t}>"
+            for i in range(len(pattern.edges))
+        ]
+    return spark.createDataFrame([], ", ".join(fields))
 
 
 def _finalize(

@@ -178,7 +178,10 @@ def cosine_near_duplicates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-dup pairs ``(a, b, cosine)`` with cosine ≥
-    threshold, candidate-limited to shared LSH buckets."""
+    threshold, candidate-limited to shared LSH buckets. The threshold
+    test uses the cosine ROUNDED to 9 decimals so the pair set is
+    stable across summation orders (engines / partitionings differ in
+    the last ulp — same rationale as :func:`lsh_bucket`'s sign test)."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
@@ -196,6 +199,6 @@ def cosine_near_duplicates(
                 "cosine"
             ),
         )
-        .where(F.col("cosine") >= threshold)
+        .where(F.round(F.col("cosine"), 9) >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )

@@ -304,3 +304,38 @@ def test_transactional_support(spark):
     assert emb.select("graph_id").distinct().count() == 2
     assert support(emb).collect()[0]["support"] == 2
     assert support(emb, min_support=3).count() == 0
+
+
+def test_prefilter_catalog_early_abort(spark):
+    """F1 early-abort (reference MultiGraphMatch.py:233-240): a pattern
+    requiring an edge type or node label the target has nowhere
+    returns the empty frame with the normal match schema; when every
+    required type/label exists, results are identical to the lazy
+    path."""
+    edf = spark.createDataFrame(
+        [(1, 2, 0, "x"), (2, 3, 0, "y")],
+        "src long, dst long, key int, type string",
+    )
+    vdf = spark.createDataFrame(
+        [(1, ["a"]), (2, ["b"]), (3, ["a"])],
+        "v_id long, labels array<string>",
+    )
+    # missing edge type → abort-empty, schema preserved
+    p_bad_t = Pattern().add_edge("u", "v", "zzz")
+    out = match(p_bad_t, edf, vdf, prefilter_catalog=True)
+    assert out.count() == 0
+    assert out.columns == match(p_bad_t, edf, vdf).columns
+    assert out.schema == match(p_bad_t, edf, vdf).schema
+    # missing node label → abort-empty
+    p_bad_l = Pattern().add_node("u", ["nope"]).add_edge("u", "v", "x")
+    assert match(p_bad_l, edf, vdf, prefilter_catalog=True).count() == 0
+    # all catalogs present → identical embeddings to the lazy path
+    p_ok = Pattern().add_node("u", ["a"]).add_edge("u", "v", "x")
+    got = {
+        (r["n_u"], r["n_v"])
+        for r in match(p_ok, edf, vdf, prefilter_catalog=True).collect()
+    }
+    want = {
+        (r["n_u"], r["n_v"]) for r in match(p_ok, edf, vdf).collect()
+    }
+    assert got == want == {(1, 2)}

@@ -261,3 +261,7 @@ def test_mine_cli(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "s 2" in out and "f 2" in out and "x (g0, 1) (g1, 1)" in out
+    # in-process CLI must NOT stop a session it joined but didn't create
+    # (regression: it stopped the shared fixture session and every
+    # later spark-using test failed on a stopped SparkContext)
+    assert spark.range(1).count() == 1
