@@ -137,6 +137,41 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_MS = 700
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational video frame-sampling plan (multimodal): one row per
+    sampled timestamp per video row, pure sequence-explode — no
+    Python anywhere."""
+    from cminer_spark.pipeline.multimodal import frame_sample_plan
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (1000 + (F.col("doc_id") % 50) * 37).cast("int").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+    out = frame_sample_plan(media, every_ms=FRAME_SAMPLE_MS)
+    return out.select("media_id", F.col("sample_ms").cast("long").alias("sample_ms"))
+
+
+FRAME_SAMPLE_SQL = f"""
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, 1000 + (doc_id % 50) * 37, {FRAME_SAMPLE_MS})) AS sample_ms
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = token_counts(_docs(spark, sf_dir))
     return out.select(
@@ -501,6 +536,7 @@ def queries():
         "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_near_dups": q_cosine_near_dups,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "language_id": q_language_id,
@@ -518,6 +554,7 @@ def oracles():
         "ann_lsh_topk": ann_lsh_oracle_sql(),
         "cosine_near_dups": neardup_oracle_sql(),
         "media_features": MEDIA_FEATURES_SQL,
+        "frame_sample": FRAME_SAMPLE_SQL,
         "token_counts": TOKEN_COUNTS_SQL,
         "quality_stats": QUALITY_STATS_SQL,
         "language_id": language_id_oracle_sql(),
