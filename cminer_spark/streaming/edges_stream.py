@@ -55,29 +55,42 @@ def _pair_group(
     (conv_id,) = key
     last_idx = state.get[0] if state.exists else -1
     for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx")
-        rows_src, rows_dst, rows_type = [], [], []
-        for turn_idx, tool in zip(pdf["turn_idx"], pdf["tool"]):
-            if turn_idx <= last_idx:
-                continue  # duplicate / replayed row — already emitted
-            if last_idx >= 0:
-                rows_src.append(f"{conv_id}#{turn_idx}")
-                rows_dst.append(f"{conv_id}#{last_idx}")
-                rows_type.append("replies_to")
-            if isinstance(tool, str) and tool:
-                rows_src.append(f"{conv_id}#{turn_idx}")
-                rows_dst.append(f"tool:{tool}")
-                rows_type.append("invokes")
-            last_idx = int(turn_idx)
-        if rows_src:
-            yield pd.DataFrame(
-                {
-                    "src_key": rows_src,
-                    "dst_key": rows_dst,
-                    "type": rows_type,
-                    "weight": 1.0,
-                }
-            )
+        # vectorized over the Arrow batch — no per-row Python:
+        # sort + filter(> last_idx) + dedup ≡ the monotone row-wise
+        # replay check; shift(fill=last_idx) pairs each turn with its
+        # previous EXISTING turn (batch parity on gappy indices)
+        pdf = (
+            pdf.sort_values("turn_idx")
+            .loc[lambda d: d["turn_idx"] > last_idx]
+            .drop_duplicates(subset="turn_idx")
+        )
+        if not len(pdf):
+            continue
+        idx = pdf["turn_idx"].astype("int64")
+        prev = idx.shift(1, fill_value=last_idx)
+        src = conv_id + "#" + idx.astype(str)
+        rmask = prev >= 0  # first turn ever has no predecessor
+        tmask = pdf["tool"].notna() & (pdf["tool"] != "")
+        replies = pd.DataFrame(
+            {
+                "src_key": src[rmask],
+                "dst_key": conv_id + "#" + prev[rmask].astype(str),
+                "type": "replies_to",
+                "weight": 1.0,
+            }
+        )
+        invokes = pd.DataFrame(
+            {
+                "src_key": src[tmask],
+                "dst_key": "tool:" + pdf.loc[tmask, "tool"].astype(str),
+                "type": "invokes",
+                "weight": 1.0,
+            }
+        )
+        last_idx = int(idx.iloc[-1])
+        out = pd.concat([replies, invokes])
+        if len(out):
+            yield out
     state.update((last_idx,))
 
 
