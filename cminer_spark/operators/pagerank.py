@@ -93,6 +93,17 @@ def pagerank(
     w = F.col(weight_col) if weight_col in edges.columns else F.lit(1.0)
     pairs = edges.select("src", "dst", w.alias("w"))
 
+    # Size the iteration partitioning to the GRAPH, not the session:
+    # every superstep schedules one task per adjacency partition, so a
+    # 60k-edge graph spread over 64 partitions pays 64 task launches
+    # per superstep for sub-millisecond work each (measured ~6s/step
+    # fixed cost on the sf0.1 events graph). ~250k edges/partition
+    # keeps tasks meaningful; the cap at spark.sql.shuffle.partitions
+    # preserves the large-graph plan (66M edges still gets the full
+    # 2×cores spread — the scaling campaign is unaffected).
+    n_raw = pairs.count()
+    iter_parts = min(shuffle_parts, max(1, -(-n_raw // 250_000)))
+
     # Normalized adjacency, built once: parallel edges collapse by
     # summed weight (multigraph stochastic matrix). Hash-partitioned on
     # src so per-superstep joins shuffle only the rank side.
@@ -105,7 +116,7 @@ def pagerank(
         # CSR adjacency blocks (graph.csr_blocks shape): one row per
         # source, neighbor list inline, range-partitioned by src
         adj = (
-            norm.repartitionByRange(shuffle_parts, "src")
+            norm.repartitionByRange(iter_parts, "src")
             .sortWithinPartitions("src", "dst")
             .groupBy("src")
             .agg(F.collect_list(F.struct("dst", "p")).alias("adj"))
@@ -113,7 +124,7 @@ def pagerank(
         )
         info.n_edges = adj.agg(F.sum(F.size("adj"))).collect()[0][0] or 0
     else:
-        adj = norm.repartition(shuffle_parts, "src").persist()
+        adj = norm.repartition(iter_parts, "src").persist()
         info.n_edges = adj.count()
 
     verts = pairs.select(F.col("src").alias("v_id")).union(

@@ -63,8 +63,10 @@ def test_kernel_carries_conversations_across_batches():
     batches = [pdf.iloc[i : i + 2] for i in range(0, len(pdf), 2)]  # splits convs
     out = pd.concat(list(_conv_stream_kernel(_edges_from_batch)(iter(batches))))
     assert len(out) == 3 * 4
-    assert set(out["type"]) == {"replies_to"}
-    assert "a#1" in set(out["src_key"]) and "c#4" in set(out["src_key"])
+    assert out["tool"].isna().all()  # compact form: NULL tool == replies_to
+    pairs = set(zip(out["conv_id"], out["src_turn"], out["dst_turn"]))
+    assert ("a", 1, 0) in pairs and ("c", 4, 3) in pairs
+    assert pairs == {(c, i, i - 1) for c in "abc" for i in range(1, 5)}
 
 
 def test_text_equality_invariant(spark):

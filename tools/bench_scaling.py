@@ -280,8 +280,109 @@ JVM-side PageRank row is the binding evidence.
     print(f"pagerank scaling efficiency (median of {PAIRS} pairs): {eff_med:.3f}")
 
 
+def extract_one(cores: int) -> None:
+    """One measured extraction run (fresh JVM): warm the Python
+    workers, then report the best of 3 timed extract+count passes."""
+    from cminer_spark.operators import extract_edges
+
+    spark = _session("extract-run", cores)
+    tr = spark.read.parquet(f"{DATA_DIR}/transcripts")
+    extract_edges(tr.limit(20000), partitions=2 * cores).count()  # warm workers
+    best = None
+    n = 0
+    for _ in range(3):
+        t0 = time.time()
+        n = extract_edges(tr, partitions=2 * cores).count()
+        sec = time.time() - t0
+        best = sec if best is None else min(best, sec)
+    print(
+        json.dumps(
+            {"cores": cores, "edges": n, "best_sec": round(best, 2),
+             "edges_per_sec": round(n / best, 1)}
+        )
+    )
+    spark.stop()
+
+
+def _spawn_extract(cores: int) -> dict:
+    """Run extract_one under a hard CPU affinity mask: local[N] caps
+    JVM task slots but NOT the Python worker processes (an N-core run
+    otherwise borrows extra physical cores for its Arrow workers,
+    deflating the measured scaling ratio). taskset makes the
+    subprocess tree a true N-core box."""
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, __file__, "--extract-one", str(cores),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=str(REPO))
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    print(line, flush=True)
+    return json.loads(line)
+
+
+def extract_campaign() -> None:
+    """Interleaved-pair scaling campaign for the edge-extraction path
+    alone; appends the section to BENCH/BASELINE.md."""
+    materialize_input()
+    hi_cores = 4 * BASE_CORES
+    pairs = []
+    for i in range(PAIRS):
+        lo = _spawn_extract(BASE_CORES)
+        hi = _spawn_extract(hi_cores)
+        eff = hi["edges_per_sec"] / (4 * lo["edges_per_sec"])
+        pairs.append({"pair": i, "lo": lo, "hi": hi, "eff": eff})
+        print(f"extract pair {i}: efficiency {eff:.3f}", flush=True)
+    effs = sorted(p["eff"] for p in pairs)
+    med = statistics.median(effs)
+    med_pair = min(pairs, key=lambda p: abs(p["eff"] - med))
+    rows = "\n".join(
+        "| {i} | {a:,.0f} | {b:,.0f} | {e:.3f} |".format(
+            i=p["pair"], a=p["lo"]["edges_per_sec"],
+            b=p["hi"]["edges_per_sec"], e=p["eff"],
+        )
+        for p in pairs
+    )
+    raw = "\n".join(
+        f"- pair {p['pair']}: `{json.dumps(p['lo'])}` → `{json.dumps(p['hi'])}`"
+        for p in pairs
+    )
+    md = f"""
+
+## Edge-extraction scaling (compact-kernel, CPU-pinned)
+
+Same protocol as the PageRank campaign ({PAIRS} interleaved pairs,
+fresh JVM per run, best-of-3 passes per run) with one fix: each run is
+pinned with `taskset -c 0-{{N-1}}`, because `local[N]` caps JVM task
+slots but not the PYTHON worker processes — unpinned N-core runs
+borrow extra physical cores for Arrow workers and deflate the
+apparent ratio (the round-1 0.276 number measured exactly that).
+Kernel (round 2): the Arrow stage emits compact typed columns only
+(`conv_id, src_turn, dst_turn, tool`); key strings + xxhash64 run
+JVM-side in whole-stage codegen.
+
+Input: {EXTRACT_CONVS:,} conversations → {med_pair['lo']['edges']:,} edges.
+
+| metric | value |
+|---|---|
+| extraction scaling efficiency, median of {PAIRS} pairs | **{med:.3f}** |
+| all pair efficiencies (sorted) | {", ".join(f"{e:.3f}" for e in effs)} |
+| median pair: local[{BASE_CORES}] → local[{hi_cores}] edges/s | {med_pair['lo']['edges_per_sec']:,.0f} → {med_pair['hi']['edges_per_sec']:,.0f} |
+
+Raw runs:
+
+{raw}
+"""
+    with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
+        f.write(md)
+    print(f"extract scaling efficiency (median of {PAIRS} pairs): {med:.3f}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--run-one":
         run_one(int(sys.argv[2]), use_csr="--csr" in sys.argv)
+    elif len(sys.argv) > 2 and sys.argv[1] == "--extract-one":
+        extract_one(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--extract-campaign":
+        extract_campaign()
     else:
         orchestrate()
