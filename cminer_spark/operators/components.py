@@ -105,14 +105,25 @@ def connected_components(
     e = truncate_lineage(e)
     prev_fp = _fingerprint(e)
 
+    from pyspark.sql import Observation
+
     for rnd in range(start_round + 1, max_rounds + 1):
         e2 = _small_star(_large_star(e))
+        # The convergence fingerprint rides the state materialization
+        # via df.observe() — one job per round, not two.
+        obs = Observation(f"cc_fp_{rnd}")
+        e2 = e2.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        )
         e2 = (
             checkpoint.save(rnd, e2, {"round": rnd})
             if checkpoint is not None
             else truncate_lineage(e2)
         )
-        fp = _fingerprint(e2)
+        got = obs.get
+        fp = (int(got["n"]), int(got["h"] or 0))
         e = e2
         info.rounds = rnd
         if fp == prev_fp:

@@ -19,11 +19,13 @@ Scale design:
   turn_idx)`` co-locates and orders each conversation, so pairing is a
   per-partition streaming pass — no driver involvement, no global
   sort.
-* The kernel is ``mapInPandas`` (Arrow batches). Conversations can
-  straddle Arrow batch boundaries inside a partition, so the kernel
-  holds back the trailing (possibly incomplete) conversation of each
-  batch and prepends it to the next — O(max conversation length)
-  memory, independent of partition size.
+* The kernel is ``mapInArrow`` (raw Arrow record batches; the pandas
+  twin is kept as the readable reference implementation and for the
+  ``passthrough_turns`` invariant path). Conversations can straddle
+  Arrow batch boundaries inside a partition, so the kernel holds back
+  the trailing (possibly incomplete) conversation of each batch and
+  prepends it to the next — O(max conversation length) memory,
+  independent of partition size.
 * All per-batch work is numpy/pandas vectorized — no per-row Python
   (BASELINE.json input_hint requirement).
 * The kernel emits COMPACT columns only — ``(conv_id, src_turn,
@@ -117,6 +119,105 @@ def _edges_from_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
 
 
+def _edges_from_arrow(tbl):
+    """Arrow-native twin of :func:`_edges_from_batch`: the pairing runs
+    directly on Arrow buffers (``pyarrow.compute`` slice/compare/take),
+    so the 16M conversation-id strings of a big partition are NEVER
+    materialized as Python objects — the dominant cost of the pandas
+    path was exactly that Arrow→object→Arrow round trip."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    conv = tbl.column("conv_id").combine_chunks()
+    turn = pc.cast(tbl.column("turn_idx").combine_chunks(), pa.int32())
+    tool = pc.cast(tbl.column("tool").combine_chunks(), pa.string())
+    n = len(conv)
+
+    pieces = []
+    if n > 1:
+        adj_eq = pc.equal(conv.slice(1), conv.slice(0, n - 1))
+        mask = adj_eq.to_numpy(zero_copy_only=False)
+        src_pos = pa.array(np.nonzero(mask)[0] + 1, type=pa.int64())
+        dst_pos = pc.subtract(src_pos, pa.scalar(1, pa.int64()))
+        m = len(src_pos)
+        if m:
+            pieces.append(
+                pa.table(
+                    {
+                        "conv_id": pc.take(conv, src_pos),
+                        "src_turn": pc.take(turn, src_pos),
+                        "dst_turn": pc.take(turn, dst_pos),
+                        "tool": pa.nulls(m, pa.string()),
+                    }
+                )
+            )
+
+    has_tool = pc.fill_null(pc.not_equal(tool, pa.scalar("", pa.string())), False)
+    tool_pos = pa.array(
+        np.nonzero(has_tool.to_numpy(zero_copy_only=False))[0], type=pa.int64()
+    )
+    k = len(tool_pos)
+    if k:
+        pieces.append(
+            pa.table(
+                {
+                    "conv_id": pc.take(conv, tool_pos),
+                    "src_turn": pc.take(turn, tool_pos),
+                    "dst_turn": pa.nulls(k, pa.int32()),
+                    "tool": pc.take(tool, tool_pos),
+                }
+            )
+        )
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("src_turn", pa.int32()),
+            ("dst_turn", pa.int32()),
+            ("tool", pa.string()),
+        ]
+    )
+    if not pieces:
+        return pa.table(
+            {f.name: pa.nulls(0, f.type) for f in schema}, schema=schema
+        )
+    return pa.concat_tables(p.cast(schema) for p in pieces)
+
+
+def _conv_stream_kernel_arrow(transform):
+    """mapInArrow twin of :func:`_conv_stream_kernel`: carries the
+    trailing (possibly incomplete) conversation of each Arrow batch as
+    a zero-copy table slice."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pending = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if pending is not None and pending.num_rows:
+                tbl = pa.concat_tables(
+                    [pending, tbl], promote_options="permissive"
+                ).combine_chunks()
+            if tbl.num_rows == 0:
+                continue
+            conv = tbl.column("conv_id").combine_chunks()
+            not_last = pc.not_equal(conv, conv[-1]).to_numpy(zero_copy_only=False)
+            prior = np.nonzero(not_last)[0]
+            split = int(prior[-1]) + 1 if len(prior) else 0
+            pending = tbl.slice(split)
+            head = tbl.slice(0, split)
+            if head.num_rows:
+                yield from transform(head).to_batches()
+        if pending is not None and pending.num_rows:
+            yield from transform(pending).to_batches()
+
+    return kernel
+
+
 def _conv_stream_kernel(transform):
     """Wrap a whole-conversation batch transform into a mapInPandas
     kernel that carries the trailing conversation across Arrow batches."""
@@ -161,8 +262,8 @@ def extract_edges(
     prepared = _prepared(
         transcripts.select("conv_id", "turn_idx", "tool"), partitions
     )
-    raw = prepared.mapInPandas(
-        _conv_stream_kernel(_edges_from_batch), schema=_KERNEL_SCHEMA
+    raw = prepared.mapInArrow(
+        _conv_stream_kernel_arrow(_edges_from_arrow), schema=_KERNEL_SCHEMA
     )
     src_key = F.concat_ws("#", "conv_id", "src_turn")
     dst_key = F.when(

@@ -90,24 +90,37 @@ def label_propagation(
             .select("v_id", F.col("label").alias("new_label"))
         )
         new_labels = labels.join(winner.hint("shuffle_hash"), "v_id", "left").select(
-            "v_id", F.coalesce("new_label", "label").alias("label")
+            "v_id",
+            F.coalesce("new_label", "label").alias("label"),
+            F.col("label").alias("label_prev"),
         )
 
+        # The changed-count rides the state materialization via
+        # df.observe() — stop_when_stable costs zero extra jobs per
+        # round (the old-vs-new join is the one already producing
+        # new_labels; label_prev is consumed by the observation and
+        # never persisted).
+        obs = None
+        to_save = new_labels.select("v_id", "label")
         if stop_when_stable:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v_id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-        else:
-            changed = -1
+            from pyspark.sql import Observation
+
+            obs = Observation(f"lpa_chg_{rnd}")
+            to_save = new_labels.observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("label_prev")).cast("long")
+                ).alias("chg"),
+            ).select("v_id", "label")
 
         labels = (
-            checkpoint.save(rnd, new_labels, {"round": rnd, "changed": changed})
+            checkpoint.save(rnd, to_save, {"round": rnd})
             if checkpoint is not None
-            else truncate_lineage(new_labels)
+            else truncate_lineage(to_save)
         )
+        changed = int(obs.get["chg"] or 0) if obs is not None else -1
+        if checkpoint is not None:
+            checkpoint.update_metrics(rnd, {"changed": changed})
         info.rounds = rnd
         if changed == 0:
             info.converged = True

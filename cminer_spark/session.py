@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.shuffledHashJoinFactor", "3")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Vectorized kernels (mapInArrow/mapInPandas) amortize their
+        # per-batch overhead over the batch: the 10k default makes a
+        # 500k-row partition pay ~50 batch round-trips where 8 do.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("CMINER_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -69,6 +69,45 @@ def test_kernel_carries_conversations_across_batches():
     assert pairs == {(c, i, i - 1) for c in "abc" for i in range(1, 5)}
 
 
+def test_arrow_kernel_matches_pandas_kernel():
+    """The mapInArrow production kernel and the pandas reference kernel
+    must emit identical edge sets, including across batch splits,
+    gappy turn indices, and tool calls."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cminer_spark.operators.edges import (
+        _conv_stream_kernel_arrow,
+        _edges_from_arrow,
+    )
+
+    rows = []
+    for conv, turns in [("a", [0, 2, 5]), ("b", [1]), ("c", [0, 1, 2, 3])]:
+        for i in turns:
+            rows.append(
+                {"conv_id": conv, "turn_idx": i,
+                 "tool": "t1" if (i % 2 == 0 and conv != "b") else None}
+            )
+    pdf = pd.DataFrame(rows)
+    pd_batches = [pdf.iloc[i : i + 2] for i in range(0, len(pdf), 2)]
+    want = pd.concat(
+        list(_conv_stream_kernel(_edges_from_batch)(iter(pd_batches)))
+    )
+    pa_batches = [
+        pa.RecordBatch.from_pandas(b, preserve_index=False) for b in pd_batches
+    ]
+    got = pa.Table.from_batches(
+        list(_conv_stream_kernel_arrow(_edges_from_arrow)(iter(pa_batches)))
+    ).to_pandas()
+
+    key = lambda df: sorted(
+        (r.conv_id, r.src_turn, -1 if pd.isna(r.dst_turn) else int(r.dst_turn),
+         r.tool if isinstance(r.tool, str) else None)
+        for r in df.itertuples()
+    )
+    assert key(got) == key(want) and len(got) == len(want)
+
+
 def test_text_equality_invariant(spark):
     """BASELINE.json input_hint: per-turn text equality under stable
     turn ordering must survive the edge-extraction path."""

@@ -323,7 +323,13 @@ def _spawn_extract(cores: int) -> dict:
 def extract_campaign() -> None:
     """Interleaved-pair scaling campaign for the edge-extraction path
     alone; appends the section to BENCH/BASELINE.md."""
-    materialize_input()
+    if not os.path.exists(f"{DATA_DIR}/transcripts/_SUCCESS"):
+        from cminer_spark.synth import synth_transcripts
+
+        spark = _session("extract-prep", 32)
+        t = synth_transcripts(spark, n_convs=EXTRACT_CONVS, seed=42, partitions=64)
+        t.write.mode("overwrite").parquet(f"{DATA_DIR}/transcripts")
+        spark.stop()
     hi_cores = 4 * BASE_CORES
     pairs = []
     for i in range(PAIRS):
