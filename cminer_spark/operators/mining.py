@@ -11,15 +11,15 @@ anti-monotone pruning (``CMiner.py:174-227``).
 
 Differences from the reference (by design, SURVEY §7.3 "no port
 temptation"): growth is level-wise (BFS) instead of stack-DFS, and —
-critically for the driver-job budget — ALL candidate extensions of a
-pattern (every attach node × direction × cycle-closing pair) are
-evaluated in **ONE distributed aggregation per (pattern, level)**:
-the per-branch candidate joins are unioned under discriminator
-columns (``_kind/_qi/_qj/_dir``), persisted once, aggregated once
-(A1+A5 extension-coverage grouping in a single ``groupBy``), and each
+critically for the driver-job budget — the loop is LEVEL-SYNCHRONOUS:
+every candidate extension of EVERY frontier pattern (attach node ×
+direction × cycle-closing pair) lands in one packed-schema union
+(bindings as ``_emb``/``_edges`` arrays, discriminators
+``_pid/_kind/_qi/_qj/_dir``), materialized once and aggregated once
+(A1+A5 extension-coverage grouping in a single ``groupBy``); each
 surviving child's embedding frame is a lazy FILTER of that cached
 frame — no per-child count jobs, no per-child persists. Spark jobs
-per level are O(#patterns), not O(#patterns · #nodes · 2).
+per level are O(1), not O(#patterns · #nodes · 2).
 
 Duplicate isomorphic patterns are removed by an exact canonical code
 (brute force over ≤8 pattern nodes, the driver-side analog of
@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass, field
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,82 +89,104 @@ def _fresh_node_id(pattern: Pattern) -> str:
     return f"q{i}"
 
 
+_EDGES_ARR_T = "array<struct<src:long,dst:long,key:int>>"
+
+
 def _extension_candidates(
-    pattern: Pattern, emb: DataFrame, v: DataFrame, e: DataFrame, max_nodes: int
-) -> DataFrame | None:
-    """The unified candidate frame for one pattern: every node
-    extension (J6) and cycle-closing edge extension (J7) as branches of
-    one union, tagged by (_kind, _qi, _qj, _dir). One persist + one
-    aggregation evaluates them all."""
+    pattern: Pattern,
+    emb: DataFrame,
+    v: DataFrame,
+    e: DataFrame,
+    max_nodes: int,
+    pid: int,
+) -> list[DataFrame]:
+    """The candidate branches for one pattern: every node extension
+    (J6) and cycle-closing edge extension (J7), tagged by
+    (_pid, _kind, _qi, _qj, _dir), where ``_qi``/``_qj`` are POSITIONS
+    in the pattern's node order. Bindings are PACKED into array
+    columns (``_emb``/``_edges``) so branches of DIFFERENT patterns
+    share one schema and the whole level unions into a single frame.
+
+    Instead of one join per (node × direction) — O(k) branches whose
+    Catalyst analysis dominated wall-clock at ~100 branches/level —
+    the bound nodes are ``posexplode``d and joined against the edge
+    table ONCE per direction; the attach point (``_qi``), extension
+    kind (new node vs cycle-close) and cycle partner (``_qj``) are
+    classified by ``array_position`` against the packed embedding.
+    Three branches per pattern, total, and one scan of the embeddings
+    per branch instead of one per (node × direction)."""
     node_ids = list(pattern.nodes)
     edge_cols = [c for c in emb.columns if c.startswith("e_")]
     can_add_node = len(node_ids) < max_nodes
-    base_cols = ["_g"] + [f"n_{n}" for n in node_ids] + edge_cols
-    branches: list[DataFrame] = []
-    for qi in node_ids:
-        if can_add_node:
-            for direction in ("out", "in"):
-                me, other = ("src", "dst") if direction == "out" else ("dst", "src")
-                cand = emb.join(
-                    e.withColumnRenamed("_g", "_ge"),
-                    (F.col(f"n_{qi}") == F.col(me)) & (F.col("_g") == F.col("_ge")),
-                )
-                for b in node_ids:  # new endpoint not yet bound (injectivity)
-                    cand = cand.where(F.col(other) != F.col(f"n_{b}"))
-                for ec in edge_cols:  # new edge distinct from bound edges
-                    cand = cand.where(F.struct("src", "dst", "key") != F.col(ec))
-                cand = cand.join(
-                    v.select(
-                        F.col("_g").alias("_gv"),
-                        F.col("v_id").alias("_vnew"),
-                        F.col("lcode").alias("_lnew"),
-                    ),
-                    (F.col(other) == F.col("_vnew")) & (F.col("_g") == F.col("_gv")),
-                )
-                branches.append(
-                    cand.select(
-                        *base_cols,
-                        "src",
-                        "dst",
-                        "key",
-                        "type",
-                        F.lit("node").alias("_kind"),
-                        F.lit(qi).alias("_qi"),
-                        F.lit(None).cast("string").alias("_qj"),
-                        F.lit(direction).alias("_dir"),
-                        F.col("_vnew"),
-                        F.col("_lnew"),
-                    )
-                )
-        for qj in node_ids:
-            if qj == qi:
-                continue
-            cand = emb.join(
-                e.withColumnRenamed("_g", "_ge"),
-                (F.col(f"n_{qi}") == F.col("src"))
-                & (F.col(f"n_{qj}") == F.col("dst"))
-                & (F.col("_g") == F.col("_ge")),
+
+    packed = emb.select(
+        "_g",
+        F.lit(pid).alias("_pid"),
+        F.array(*[F.col(f"n_{n}") for n in node_ids]).alias("_emb"),
+        (
+            F.array(*edge_cols)
+            if edge_cols
+            else F.array().cast(_EDGES_ARR_T)
+        ).alias("_edges"),
+    ).select("*", F.posexplode("_emb").alias("_qi", "_nval"))
+
+    ev = e.withColumnRenamed("_g", "_ge")
+    new_edge = F.struct("src", "dst", "key")
+    vv = v.select(
+        F.col("_g").alias("_gv"),
+        F.col("v_id").alias("_vid"),
+        F.col("lcode").alias("_vlcode"),
+    )
+
+    def shape(df: DataFrame, kind: str, direction: str | None,
+              qj: F.Column | None, vnew: F.Column | None,
+              lnew: F.Column | None) -> DataFrame:
+        return df.select(
+            "_g", "_pid", "_emb", "_edges", "src", "dst", "key", "type",
+            F.lit(kind).alias("_kind"),
+            F.col("_qi").cast("int").alias("_qi"),
+            (qj if qj is not None else F.lit(None)).cast("int").alias("_qj"),
+            F.lit(direction).cast("string").alias("_dir"),
+            (vnew if vnew is not None else F.lit(None)).cast("long").alias("_vnew"),
+            (lnew if lnew is not None else F.lit(None)).cast("string").alias("_lnew"),
+        )
+
+    # outgoing edges from a bound node: the dst is either unbound (node
+    # extension) or a DIFFERENT bound node (cycle-closing edge ext —
+    # classified here only, so each closing edge is emitted once)
+    out = packed.join(
+        ev, (F.col("_g") == F.col("_ge")) & (F.col("_nval") == F.col("src"))
+    ).where(~F.array_contains("_edges", new_edge)).withColumn(
+        "_po", F.array_position("_emb", F.col("dst"))
+    )
+    branches = [
+        shape(
+            out.where((F.col("_po") > 0) & (F.col("_po") != F.col("_qi") + 1)),
+            "edge", None, F.col("_po") - 1, None, None,
+        )
+    ]
+    if can_add_node:
+        out_node = out.where(F.col("_po") == 0).join(
+            vv, (F.col("_g") == F.col("_gv")) & (F.col("dst") == F.col("_vid"))
+        )
+        branches.append(
+            shape(out_node, "node", "out", None, F.col("dst"), F.col("_vlcode"))
+        )
+        # incoming edges whose src is unbound: node extension in the
+        # 'in' direction (bound-src cases are covered by the out join)
+        in_node = (
+            packed.join(
+                ev,
+                (F.col("_g") == F.col("_ge")) & (F.col("_nval") == F.col("dst")),
             )
-            for ec in edge_cols:
-                cand = cand.where(F.struct("src", "dst", "key") != F.col(ec))
-            branches.append(
-                cand.select(
-                    *base_cols,
-                    "src",
-                    "dst",
-                    "key",
-                    "type",
-                    F.lit("edge").alias("_kind"),
-                    F.lit(qi).alias("_qi"),
-                    F.lit(qj).alias("_qj"),
-                    F.lit(None).cast("string").alias("_dir"),
-                    F.lit(None).cast("long").alias("_vnew"),
-                    F.lit(None).cast("string").alias("_lnew"),
-                )
-            )
-    if not branches:
-        return None
-    return reduce(lambda a, b: a.unionByName(b), branches)
+            .where(~F.array_contains("_edges", new_edge))
+            .where(F.array_position("_emb", F.col("src")) == 0)
+            .join(vv, (F.col("_g") == F.col("_gv")) & (F.col("src") == F.col("_vid")))
+        )
+        branches.append(
+            shape(in_node, "node", "in", None, F.col("src"), F.col("_vlcode"))
+        )
+    return branches
 
 
 def mine_frequent_patterns(
@@ -271,120 +292,163 @@ def mine_frequent_patterns(
             _record(p, emb, len(gcounts), sum(gcounts.values()), gcounts)
             frontier.append((p, emb, len(p.edges)))
 
-    group_keys = ["_kind", "_qi", "_qj", "_dir", "type", "_lnew"]
-    prev_caches: list[DataFrame] = []
+    group_keys = ["_pid", "_kind", "_qi", "_qj", "_dir", "type", "_lnew"]
+    prev_cache: DataFrame | None = None
     while frontier:
         next_frontier: list[tuple[Pattern, DataFrame, int]] = []
-        level_caches: list[DataFrame] = []
-        for pattern, emb, n_edges_so_far in frontier:
+
+        # --- level-synchronous candidate frame: branches of EVERY
+        # frontier pattern share one packed schema (_emb/_edges arrays)
+        # and union into ONE frame — Spark jobs per LEVEL are O(1),
+        # not O(#patterns) (round-1 job storm, stage 2 of the fix)
+        by_pid: dict[int, tuple[Pattern, DataFrame, int]] = {}
+        branches: list[DataFrame] = []
+        for pid, (pattern, emb, n_edges_so_far) in enumerate(frontier):
             if n_edges_so_far >= max_edges:
                 continue
-            cand = _extension_candidates(pattern, emb, v, e, max_nodes)
-            if cand is None:
-                continue
-            # the union has (#branches × shuffle.partitions) partitions
-            # — coalesce (narrow, no shuffle) back to one wave of tasks
-            # before materializing, or per-task overhead dominates
-            n_part = int(
-                emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            by_pid[pid] = (pattern, emb, n_edges_so_far)
+            branches.extend(
+                _extension_candidates(pattern, emb, v, e, max_nodes, pid)
             )
-            cand = cand.coalesce(n_part)
-            # lineage TRUNCATION, not just caching: children are lazy
-            # filters of cand, so with plain persist() the logical plan
-            # tree grows ~(branches)^level and Catalyst analysis OOMs
-            # by level 4-5. localCheckpoint(eager=False) materializes
-            # cand inside the aggregation job below and re-roots every
-            # child at a LogicalRDD — plans stay O(branches) per level.
-            cand = cand.localCheckpoint(eager=False)
-            level_caches.append(cand)
-            # THE one job per (pattern, level): every extension key's
-            # support + frequency (+ per-graph counts) at once
-            if with_graph_counts:
-                rows = (
-                    cand.groupBy(*group_keys, "_g")
-                    .agg(F.count(F.lit(1)).alias("cnt"))
-                    .collect()
-                )
-                stats: dict[tuple, dict] = {}
-                for r in rows:
-                    k = tuple(r[c] for c in group_keys)
-                    stats.setdefault(k, {})[r["_g"]] = int(r["cnt"])
-            else:
-                rows = (
-                    cand.groupBy(*group_keys)
-                    .agg(
-                        F.countDistinct("_g").alias("sup"),
-                        F.count(F.lit(1)).alias("freq"),
-                    )
-                    .where(F.col("sup") >= min_support)
-                    .collect()
-                )
-                stats = {
-                    tuple(r[c] for c in group_keys): {
-                        "__sup__": int(r["sup"]),
-                        "__freq__": int(r["freq"]),
-                    }
-                    for r in rows
-                }
+        if not branches:
+            break
+        import os as _os
+        import time as _time
 
-            edge_cols = [c for c in emb.columns if c.startswith("e_")]
-            base_cols = ["_g"] + [f"n_{n}" for n in pattern.nodes] + [
-                F.col(ec) for ec in edge_cols
+        _dbg = _os.environ.get("CMINER_MINE_DEBUG") == "1"
+        _t0 = _time.time()
+        # balanced tree union: Dataset creation analyzes its plan
+        # eagerly, so a linear unionByName chain costs O(B²) analyzer
+        # node-visits over B branches; pairing halves that to O(B log B)
+        tier = branches
+        while len(tier) > 1:
+            tier = [
+                tier[i].unionByName(tier[i + 1]) if i + 1 < len(tier) else tier[i]
+                for i in range(0, len(tier), 2)
             ]
-            for key_tuple in sorted(
-                stats, key=lambda k: tuple("" if x is None else str(x) for x in k)
-            ):
-                kind, qi, qj, direction, etype, lnew = key_tuple
-                gstats = stats[key_tuple]
-                if with_graph_counts:
-                    sup, freq, gcounts = (
-                        len(gstats), sum(gstats.values()), gstats,
-                    )
-                    if sup < min_support:
-                        continue
-                else:
-                    sup, freq, gcounts = gstats["__sup__"], gstats["__freq__"], {}
+        cand = tier[0]
+        # the union has (#branches × shuffle.partitions) partitions —
+        # coalesce (narrow, no shuffle) back to one wave of tasks
+        # before materializing, or per-task overhead dominates
+        n_part = int(
+            cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        cand = cand.coalesce(n_part)
+        # lineage TRUNCATION, not just caching: children are lazy
+        # filters of cand, so with plain persist() the logical plan
+        # tree grows ~(branches)^level and Catalyst analysis OOMs
+        # by level 4-5. localCheckpoint(eager=False) materializes
+        # cand inside the aggregation job below and re-roots every
+        # child at a LogicalRDD — plans stay O(branches) per level.
+        cand = cand.localCheckpoint(eager=False)
+        if _dbg:
+            print(
+                f"[mine] level: {len(by_pid)} patterns, {len(branches)} branches, "
+                f"plan-build {_time.time() - _t0:.2f}s",
+                flush=True,
+            )
+            _t0 = _time.time()
 
-                p2 = Pattern(dict(pattern.nodes), list(pattern.edges),
-                             dict(pattern.node_props))
-                cond = (
-                    (F.col("_kind") == kind)
-                    & (F.col("_qi") == qi)
-                    & (F.col("type") == etype)
+        # THE one job per level: every (pattern, extension key)'s
+        # support + frequency (+ per-graph counts) at once
+        if with_graph_counts:
+            rows = (
+                cand.groupBy(*group_keys, "_g")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            stats: dict[tuple, dict] = {}
+            for r in rows:
+                k = tuple(r[c] for c in group_keys)
+                stats.setdefault(k, {})[r["_g"]] = int(r["cnt"])
+        else:
+            rows = (
+                cand.groupBy(*group_keys)
+                .agg(
+                    F.countDistinct("_g").alias("sup"),
+                    F.count(F.lit(1)).alias("freq"),
                 )
-                if kind == "node":
-                    new_id = _fresh_node_id(pattern)
-                    p2.add_node(new_id, lnew.split("|") if lnew else [])
-                    if direction == "out":
-                        p2.add_edge(qi, new_id, etype)
-                    else:
-                        p2.add_edge(new_id, qi, etype)
-                    cond = cond & (F.col("_dir") == direction) & (
-                        F.col("_lnew") == lnew
-                    )
-                    extra = [
-                        F.col("_vnew").alias(f"n_{new_id}"),
-                        F.struct("src", "dst", "key").alias(f"e_{len(edge_cols)}"),
-                    ]
-                else:
-                    p2.add_edge(qi, qj, etype)
-                    cond = cond & (F.col("_qj") == qj)
-                    extra = [
-                        F.struct("src", "dst", "key").alias(f"e_{len(edge_cols)}")
-                    ]
-                code = canonical_code(p2)
-                if code in seen_codes:
+                .where(F.col("sup") >= min_support)
+                .collect()
+            )
+            stats = {
+                tuple(r[c] for c in group_keys): {
+                    "__sup__": int(r["sup"]),
+                    "__freq__": int(r["freq"]),
+                }
+                for r in rows
+            }
+        if _dbg:
+            print(f"[mine] level agg job {_time.time() - _t0:.2f}s", flush=True)
+
+        for key_tuple in sorted(
+            stats, key=lambda k: tuple("" if x is None else str(x) for x in k)
+        ):
+            pid, kind, qi_pos, qj_pos, direction, etype, lnew = key_tuple
+            pattern, emb, n_edges_so_far = by_pid[pid]
+            pat_nodes = list(pattern.nodes)
+            qi = pat_nodes[qi_pos]
+            qj = pat_nodes[qj_pos] if qj_pos is not None else None
+            gstats = stats[key_tuple]
+            if with_graph_counts:
+                sup, freq, gcounts = (
+                    len(gstats), sum(gstats.values()), gstats,
+                )
+                if sup < min_support:
                     continue
-                seen_codes.add(code)
-                emb2 = cand.where(cond).select(*base_cols, *extra)
-                _record(p2, emb2, sup, freq, gcounts)
-                next_frontier.append((p2, emb2, n_edges_so_far + 1))
-        # this level's aggregations have materialized every child's
-        # inputs — previous-level checkpoint blocks are only referenced
-        # by DataFrames we drop here, so the ContextCleaner reclaims
-        # them on GC (localCheckpoint blocks have no cacheManager entry
-        # to unpersist explicitly)
-        prev_caches = level_caches
+            else:
+                sup, freq, gcounts = gstats["__sup__"], gstats["__freq__"], {}
+
+            p2 = Pattern(dict(pattern.nodes), list(pattern.edges),
+                         dict(pattern.node_props))
+            cond = (
+                (F.col("_pid") == pid)
+                & (F.col("_kind") == kind)
+                & (F.col("_qi") == qi_pos)
+                & (F.col("type") == etype)
+            )
+            # unpack the parent's bindings back to named columns from
+            # the packed arrays (parent node order is known here)
+            node_ids = list(pattern.nodes)
+            n_edges_bound = len(pattern.edges)
+            base_cols = ["_g"] + [
+                F.get("_emb", i).alias(f"n_{n}") for i, n in enumerate(node_ids)
+            ] + [
+                F.get("_edges", j).alias(f"e_{j}") for j in range(n_edges_bound)
+            ]
+            if kind == "node":
+                new_id = _fresh_node_id(pattern)
+                p2.add_node(new_id, lnew.split("|") if lnew else [])
+                if direction == "out":
+                    p2.add_edge(qi, new_id, etype)
+                else:
+                    p2.add_edge(new_id, qi, etype)
+                cond = cond & (F.col("_dir") == direction) & (
+                    F.col("_lnew") == lnew
+                )
+                extra = [
+                    F.col("_vnew").alias(f"n_{new_id}"),
+                    F.struct("src", "dst", "key").alias(f"e_{n_edges_bound}"),
+                ]
+            else:
+                p2.add_edge(qi, qj, etype)
+                cond = cond & (F.col("_qj") == qj_pos)
+                extra = [
+                    F.struct("src", "dst", "key").alias(f"e_{n_edges_bound}")
+                ]
+            code = canonical_code(p2)
+            if code in seen_codes:
+                continue
+            seen_codes.add(code)
+            emb2 = cand.where(cond).select(*base_cols, *extra)
+            _record(p2, emb2, sup, freq, gcounts)
+            next_frontier.append((p2, emb2, n_edges_so_far + 1))
+        # this level's aggregation has materialized every child's
+        # inputs — the previous level's checkpoint blocks are only
+        # referenced by DataFrames we drop here, so the ContextCleaner
+        # reclaims them on GC (localCheckpoint blocks have no
+        # cacheManager entry to unpersist explicitly)
+        prev_cache = cand
         frontier = next_frontier
 
     if not keep_embeddings:
