@@ -11,15 +11,23 @@ Format parity with the reference (parser
 * result blocks add ``s <support>``, ``f <frequency>`` and
   ``x <graph> <count> ...`` info lines.
 
-Implemented as a distributed scan: ``spark.read.text`` + a window
-that assigns each line to the most recent ``t`` header — no driver
-parsing. Parallelism note: the header-assignment window partitions by
-FILE, so the scan parallelizes across files (the reference's DB
-layout — many transaction files — loads fully parallel) but a single
-huge ``.data`` file serializes through one task; split such dumps
-upstream, or extend this with split-relative offsets from the
-``_metadata`` columns. Line order within a file is preserved via
-``monotonically_increasing_id`` over the file's partition.
+Implemented as a distributed scan: ``spark.read.text`` + a
+SPLIT-PARALLEL forward fill that assigns each line to the most recent
+``t`` header — no driver parsing, no per-file serialization. A single
+huge ``.data`` dump parallelizes across its input splits:
+
+1. each line carries ``(_metadata.file_block_start, rid)`` — the
+   split's byte offset orders splits within a file EXACTLY, and
+   ``monotonically_increasing_id`` orders rows within a split, so
+   ``(blk, rid)`` is a total file order with no cross-split
+   partition-index assumptions;
+2. one tiny aggregate per split finds its LAST header;
+3. the driver computes each split's carry-in header (one collect of
+   #splits rows — ~800k rows at 100 TB, the only driver-side state)
+   and broadcast-joins it back;
+4. a per-split window (parallel across splits) forward-fills headers,
+   falling back to the carry-in for lines before the split's first
+   header.
 
 Node ids: the gSpan-style format uses integer ids; the reference
 loader happens to keep them as strings
@@ -45,24 +53,54 @@ def read_data_db(
     lines = (
         spark.read.text(path)
         .select(
-            F.input_file_name().alias("file"),
-            F.monotonically_increasing_id().alias("pos"),
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_block_start").alias("blk"),
+            F.monotonically_increasing_id().alias("rid"),
             F.trim(F.col("value")).alias("line"),
         )
         .where(F.col("line") != "")
         .withColumn("toks", F.split("line", " +"))
         .withColumn("kind", F.get("toks", 0))
-    )
-    w = Window.partitionBy("file").orderBy("pos")
-    tagged = lines.withColumn(
-        "graph_id",
-        F.last(
+        .withColumn(
+            "hdr",
             F.when(
                 F.col("kind") == "t",
                 F.coalesce(F.get("toks", 3), F.get("toks", 2)),
             ),
-            ignorenulls=True,
-        ).over(w),
+        )
+    )
+
+    # Split-parallel forward fill (see module docstring): per-split
+    # last header → driver carry computation → broadcast back.
+    split_last = (
+        lines.groupBy("file", "blk")
+        .agg(
+            F.max(
+                F.when(F.col("hdr").isNotNull(), F.struct("rid", "hdr"))
+            )["hdr"].alias("last_hdr")
+        )
+        .collect()
+    )
+    carry_rows = []
+    carry: dict[str, str | None] = {}
+    for r in sorted(split_last, key=lambda r: (r["file"], r["blk"])):
+        carry_rows.append((r["file"], r["blk"], carry.get(r["file"])))
+        if r["last_hdr"] is not None:
+            carry[r["file"]] = r["last_hdr"]
+    carries = spark.createDataFrame(
+        carry_rows, "file string, blk long, carry_hdr string"
+    )
+
+    w = Window.partitionBy("file", "blk").orderBy("rid")
+    tagged = (
+        lines.join(F.broadcast(carries), ["file", "blk"], "left")
+        .withColumn(
+            "graph_id",
+            F.coalesce(
+                F.last("hdr", ignorenulls=True).over(w), F.col("carry_hdr")
+            ),
+        )
+        .withColumn("pos", F.struct("blk", "rid"))
     )
 
     def _num_id(tok: F.Column) -> F.Column:

@@ -49,6 +49,53 @@ def test_read_data_db(spark, tmp_path):
     assert ee[("2", 0, 1, 0)] == ""  # missing label → wildcard ""
 
 
+def test_read_data_db_single_file_split_parallel(spark, tmp_path):
+    """A single huge .data file must parse identically whether it is
+    read as one input split or many (the split-parallel forward fill:
+    headers carry across split boundaries via the per-split carry)."""
+    import random
+
+    rng = random.Random(3)
+    blocks = []
+    for g in range(120):
+        blocks.append(f"t # {g} g{g}")
+        n = rng.randint(3, 9)
+        for i in range(n):
+            blocks.append(f"v {i} {rng.choice('abc')}")
+        for _ in range(rng.randint(2, 10)):
+            s, d = rng.randrange(n), rng.randrange(n)
+            blocks.append(f"e {s} {d} {rng.choice('xy')}")
+    p = tmp_path / "big.data"
+    p.write_text("\n".join(blocks) + "\n")
+
+    def snapshot():
+        v, e = read_data_db(spark, str(p))
+        return (
+            {(r.graph_id, r.v_id, tuple(r.labels)) for r in v.collect()},
+            {(r.graph_id, r.src, r.dst, r.key, r.type) for r in e.collect()},
+        )
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        v1, e1 = snapshot()  # default: single split
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        n_splits = (
+            spark.read.text(str(p))
+            .select(F.col("_metadata.file_block_start").alias("blk"))
+            .distinct()
+            .count()
+        )
+        assert n_splits > 4, "test setup must force multiple input splits"
+        v2, e2 = snapshot()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    assert v1 == v2
+    assert e1 == e2
+
+
 def test_data_db_with_matcher_support(spark, tmp_path):
     p = tmp_path / "db.data"
     p.write_text(DB1)
