@@ -22,13 +22,15 @@ Layout::
     <dir>/iter=<i>/...parquet      # state
     <dir>/meta/iter_<i>.json       # commit marker + lineage + metrics
 
-Path support: the parquet state goes through ``DataFrame.write`` and
-works on any Hadoop-supported filesystem, but the JSON commit-marker
-sidecars use Python ``os``/``open`` — the checkpoint directory must
-therefore be a LOCAL or shared-POSIX (NFS) path. For object stores
-(s3a://, gs://), route the sidecar I/O through the Hadoop FileSystem
-API (``spark._jvm.org.apache.hadoop.fs.FileSystem``) or keep markers
-in an Iceberg table keyed by iteration; not implemented here.
+Path support: BOTH the parquet state (``DataFrame.write``) and the
+JSON commit-marker sidecars go through Hadoop filesystem APIs — the
+sidecars via :class:`_HadoopIO` (``Path.getFileSystem`` on the
+session's Hadoop conf) — so the checkpoint directory may be a local
+path, NFS, HDFS, or an object store (s3a://, gs://, abfss://) with
+the matching connector on the classpath. Commit markers rely on
+``FileSystem.rename`` as the commit point; on stores where rename is
+copy+delete the marker is still written whole-file, so a reader never
+observes a partial marker.
 """
 
 from __future__ import annotations
@@ -41,24 +43,71 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class _HadoopIO:
+    """Sidecar I/O through the JVM Hadoop FileSystem — works on any
+    scheme the session's Hadoop conf can resolve (file://, hdfs://,
+    s3a://, ...)."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._IOUtils = jvm.org.apache.commons.io.IOUtils
+        self.fs = self._Path(base).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def mkdirs(self, path: str) -> None:
+        self.fs.mkdirs(self._Path(path))
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._Path(path)
+        if not self.fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self.fs.listStatus(p)]
+
+    def read_text(self, path: str) -> str:
+        stream = self.fs.open(self._Path(path))
+        try:
+            return bytes(self._IOUtils.toByteArray(stream)).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = self._Path(path + ".tmp")
+        out = self.fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dst = self._Path(path)
+        if self.fs.exists(dst):
+            self.fs.delete(dst, False)
+        self.fs.rename(tmp, dst)  # commit point
+
+    def delete_recursive(self, path: str) -> None:
+        p = self._Path(path)
+        if self.fs.exists(p):
+            self.fs.delete(p, True)
+
+
 class SuperstepCheckpoint:
     def __init__(self, spark: SparkSession, directory: str):
         self.spark = spark
-        self.dir = directory
-        os.makedirs(os.path.join(directory, "meta"), exist_ok=True)
+        self.dir = directory.rstrip("/")
+        self.io = _HadoopIO(spark, self.dir)
+        self.io.mkdirs(f"{self.dir}/meta")
 
     # -- paths ---------------------------------------------------------
     def _data_path(self, i: int) -> str:
-        return os.path.join(self.dir, f"iter={i}")
+        return f"{self.dir}/iter={i}"
 
     def _meta_path(self, i: int) -> str:
-        return os.path.join(self.dir, "meta", f"iter_{i}.json")
+        return f"{self.dir}/meta/iter_{i}.json"
 
     # -- api -----------------------------------------------------------
     def committed_iterations(self) -> list[int]:
-        meta = os.path.join(self.dir, "meta")
         out = []
-        for name in os.listdir(meta):
+        for name in self.io.listdir(f"{self.dir}/meta"):
             if name.startswith("iter_") and name.endswith(".json"):
                 out.append(int(name[len("iter_") : -len(".json")]))
         return sorted(out)
@@ -69,8 +118,7 @@ class SuperstepCheckpoint:
         if not its:
             return None
         i = its[-1]
-        with open(self._meta_path(i)) as f:
-            meta = json.load(f)
+        meta = json.loads(self.io.read_text(self._meta_path(i)))
         return i, self.spark.read.parquet(self._data_path(i)), meta
 
     def save(self, i: int, df: DataFrame, metrics: dict) -> DataFrame:
@@ -102,27 +150,20 @@ class SuperstepCheckpoint:
             "partitions": lineage,
             "metrics": metrics,
         }
-        tmp = self._meta_path(i) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path(i))  # commit point
+        self.io.write_text_atomic(self._meta_path(i), json.dumps(meta))
         return back
 
     def update_metrics(self, i: int, extra: dict) -> None:
         """Merge extra metrics (e.g. the convergence delta computed
         after the state write) into a committed superstep's meta."""
         path = self._meta_path(i)
-        with open(path) as f:
-            meta = json.load(f)
+        meta = json.loads(self.io.read_text(path))
         meta["metrics"].update(extra)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, path)
+        self.io.write_text_atomic(path, json.dumps(meta))
 
     def clear(self) -> None:
-        shutil.rmtree(self.dir, ignore_errors=True)
-        os.makedirs(os.path.join(self.dir, "meta"), exist_ok=True)
+        self.io.delete_recursive(self.dir)
+        self.io.mkdirs(f"{self.dir}/meta")
 
 
 def truncate_lineage(df: DataFrame) -> DataFrame:
