@@ -175,7 +175,65 @@ def main() -> None:
         **extras,
     }
     spark.stop()
+
+    # -- north-rule scaling pair (opt-out: BENCH_SCALING=0) -------------
+    # one interleaved local[4] → local[16] PageRank pair on the 66M-edge
+    # campaign input, fresh JVM per side (tools/bench_scaling.py
+    # protocol) — every BENCH_rN.json carries an efficiency spot check
+    # against the BENCH/BASELINE.md 5-pair campaign without a hand run.
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        scaling = _scaling_pair()
+        if scaling:
+            result.update(scaling)
+
     print(json.dumps(result))
+
+
+def _scaling_pair() -> dict | None:
+    """One (local[4], local[16]) PageRank pair on the CAMPAIGN-size
+    input. The full 66M-edge graph is required for comparability: the
+    ~2-3s serial per-superstep cost (driver, barriers, state write)
+    makes smaller graphs understate efficiency via Amdahl (a 33M-edge
+    pair measures ~0.66 on code whose 66M-edge campaign median is
+    0.892). Input parquet is materialized once and cached in /tmp
+    across rounds."""
+    import subprocess
+
+    tool = os.path.join(_HERE, "tools", "bench_scaling.py")
+    env = dict(
+        os.environ,
+        SCALING_ITERS=os.environ.get("BENCH_SCALING_ITERS", "8"),
+        SCALING_BASE_CORES="4",
+    )
+
+    def run(args: list[str]) -> dict | None:
+        out = subprocess.run(
+            [sys.executable, tool, *args],
+            capture_output=True, text=True, env=env, cwd=_HERE,
+        )
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            return None
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        return json.loads(lines[-1]) if lines else {}
+
+    if run(["--materialize"]) is None:
+        return None
+    lo = run(["--run-one", "4"])
+    hi = run(["--run-one", "16"])
+    if not lo or not hi:
+        return None
+    eff = hi["edges_per_sec_per_superstep"] / (
+        4 * lo["edges_per_sec_per_superstep"]
+    )
+    return {
+        "scaling_efficiency": round(eff, 3),
+        "scaling_pair": {"cores": [4, 16], "lo": lo, "hi": hi},
+        "scaling_note": (
+            "single interleaved pair, min-steady-superstep estimator; "
+            "authoritative 5-pair campaign median 0.892 in BENCH/BASELINE.md"
+        ),
+    }
 
 
 if __name__ == "__main__":

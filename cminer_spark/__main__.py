@@ -49,6 +49,14 @@ def _main_mine(argv: list[str]) -> int:
     ap.add_argument("-u", "--max_nodes", type=int, default=4)
     ap.add_argument("-m", "--show_mappings", type=int, default=0)
     ap.add_argument("-o", "--output_path", type=str, default=None)
+    ap.add_argument(
+        "--stream_output",
+        action="store_true",
+        help="append each pattern block to output_path (a plain local "
+        "file) AS IT IS EMITTED, like the reference's incremental "
+        "writes (CMiner.py:503-516), instead of one batch write at the "
+        "end (a text directory)",
+    )
     ap.add_argument("-p", "--patterns_path", type=str, default=None)
     ap.add_argument("--max-edges", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -69,6 +77,20 @@ def _main_mine(argv: list[str]) -> int:
         with open(args.patterns_path) as f:
             start = parse_pattern_text(f.read())
     support = args.support if args.support < 1 else int(args.support)
+    stream_f = None
+    on_pattern = None
+    if args.output_path and args.stream_output:
+        from itertools import count
+
+        from cminer_spark.operators.mining import pattern_block_text
+
+        stream_f = open(args.output_path, "w")
+        _ids = count()
+
+        def on_pattern(mp):
+            stream_f.write(pattern_block_text(mp, next(_ids)) + "\n")
+            stream_f.flush()
+
     mined = mine_frequent_patterns(
         v,
         e,
@@ -81,10 +103,14 @@ def _main_mine(argv: list[str]) -> int:
         start_patterns=start,
         with_graph_counts=True,
         keep_embeddings=bool(args.show_mappings),
+        on_pattern=on_pattern,
     )
+    if stream_f is not None:
+        stream_f.close()
     df = patterns_to_df(spark, mined)
     if args.output_path:
-        write_patterns_text(df, args.output_path)
+        if not args.stream_output:  # stream mode already wrote the file
+            write_patterns_text(df, args.output_path)
         if args.show_mappings:
             for i, mp in enumerate(mined):
                 if mp.embeddings is not None:

@@ -80,7 +80,10 @@ def _edges_from_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     chunks: list[pd.DataFrame] = []
     if len(pdf) > 1:
-        same_conv = conv[1:] == conv[:-1]
+        # null-safe adjacency (NULL conv_ids form one conversation;
+        # bare == misses NaN-encoded missing strings)
+        nulls = pd.isna(conv)
+        same_conv = (conv[1:] == conv[:-1]) | (nulls[1:] & nulls[:-1])
         chunks.append(
             pd.DataFrame(
                 {
@@ -136,7 +139,15 @@ def _edges_from_arrow(tbl):
 
     pieces = []
     if n > 1:
-        adj_eq = pc.equal(conv.slice(1), conv.slice(0, n - 1))
+        # null-safe adjacency: two adjacent NULL conv_ids belong to the
+        # same (single NULL-keyed) conversation — the semantics of the
+        # pandas twin's object-array equality (None == None), which a
+        # bare pc.equal would silently drop (null → treated as false)
+        lo, hi = conv.slice(0, n - 1), conv.slice(1)
+        adj_eq = pc.or_(
+            pc.fill_null(pc.equal(hi, lo), False),
+            pc.and_(pc.is_null(hi), pc.is_null(lo)),
+        )
         mask = adj_eq.to_numpy(zero_copy_only=False)
         src_pos = pa.array(np.nonzero(mask)[0] + 1, type=pa.int64())
         dst_pos = pc.subtract(src_pos, pa.scalar(1, pa.int64()))
@@ -205,7 +216,14 @@ def _conv_stream_kernel_arrow(transform):
             if tbl.num_rows == 0:
                 continue
             conv = tbl.column("conv_id").combine_chunks()
-            not_last = pc.not_equal(conv, conv[-1]).to_numpy(zero_copy_only=False)
+            last = conv[-1]
+            # null-safe "belongs to the trailing conversation" test
+            # (NULL conv_ids form one conversation — pandas-twin parity)
+            if not last.is_valid:
+                not_last = pc.invert(pc.is_null(conv))
+            else:
+                not_last = pc.fill_null(pc.not_equal(conv, last), True)
+            not_last = not_last.to_numpy(zero_copy_only=False)
             prior = np.nonzero(not_last)[0]
             split = int(prior[-1]) + 1 if len(prior) else 0
             pending = tbl.slice(split)
@@ -233,7 +251,12 @@ def _conv_stream_kernel(transform):
             # conversations are contiguous (sorted), so all rows of the
             # trailing conversation form a suffix; hold them back in
             # case the conversation continues in the next Arrow batch.
-            n_tail = int((pdf["conv_id"] == last_conv).sum())
+            # Null-safe: NULL conv_ids form one conversation (== would
+            # miss them — NaN/None compare unequal in pandas).
+            if pd.isna(last_conv):
+                n_tail = int(pdf["conv_id"].isna().sum())
+            else:
+                n_tail = int((pdf["conv_id"] == last_conv).sum())
             split = len(pdf) - n_tail
             pending = pdf.iloc[split:]
             head = pdf.iloc[:split]
@@ -256,15 +279,25 @@ def extract_edges(
     transcripts: DataFrame,
     partitions: int | None = None,
     with_parallel_keys: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Transcripts → edge table ``(src, dst, type, key, weight,
-    src_key, dst_key)``."""
+    src_key, dst_key)``.
+
+    ``use_arrow=False`` routes the pairing through the pandas twin
+    kernel (same semantics, kept as the readable reference
+    implementation) — used by the kernel A/B benchmarks."""
     prepared = _prepared(
         transcripts.select("conv_id", "turn_idx", "tool"), partitions
     )
-    raw = prepared.mapInArrow(
-        _conv_stream_kernel_arrow(_edges_from_arrow), schema=_KERNEL_SCHEMA
-    )
+    if use_arrow:
+        raw = prepared.mapInArrow(
+            _conv_stream_kernel_arrow(_edges_from_arrow), schema=_KERNEL_SCHEMA
+        )
+    else:
+        raw = prepared.mapInPandas(
+            _conv_stream_kernel(_edges_from_batch), schema=_KERNEL_SCHEMA
+        )
     src_key = F.concat_ws("#", "conv_id", "src_turn")
     dst_key = F.when(
         F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))

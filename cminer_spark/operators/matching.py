@@ -89,32 +89,141 @@ class Pattern:
         return self
 
 
-def _order_edges(pattern: Pattern) -> list[PatternEdge]:
-    """Greedy connected-first ordering (reference Ordering.py:49-87):
-    start from the edge with the most label constraints, then always
-    pick an edge sharing a bound endpoint, preferring more constraints."""
+def _pattern_jaccard(pattern: Pattern, a: str, b: str) -> float:
+    """Jaccard similarity of two query nodes' neighbor sets in the
+    PATTERN graph (reference ``Graph.py:149-163``)."""
 
-    def selectivity(e: PatternEdge) -> int:
-        s = len(pattern.nodes[e.src]) + len(pattern.nodes[e.dst])
-        s += len(pattern.node_props.get(e.src) or ())
-        s += len(pattern.node_props.get(e.dst) or ())
-        s += len(e.props)
-        return s + (2 if e.type != WILDCARD else 0)
+    def nbrs(n: str) -> set[str]:
+        return {e.dst for e in pattern.edges if e.src == n} | {
+            e.src for e in pattern.edges if e.dst == n
+        }
 
-    remaining = list(pattern.edges)
-    if not remaining:
+    na, nb = nbrs(a), nbrs(b)
+    union = na | nb
+    return len(na & nb) / len(union) if union else 0.0
+
+
+def _order_edges(
+    pattern: Pattern, domain_card: dict[int, float] | None = None
+) -> list[PatternEdge]:
+    """Greedy connected-first join ordering.
+
+    Default (``domain_card=None``, lazy — no target statistics): start
+    from the edge with the most label/attr/type constraints, then
+    always extend from a bound endpoint, preferring more constraints
+    (reference Ordering.py:49-87 simplified).
+
+    With ``domain_card`` (per-pattern-edge-index domain-cardinality
+    estimates, see :func:`edge_domain_estimates`), uses the
+    reference's O1 scores (``Ordering.py:13-47``): maximize
+    ``(cf, score)`` where ``cf`` = #already-bound endpoints and
+
+    * cf=0: ``deg(qi)·deg(qj)·(1+jaccard(qi,qj)) / |domain|``
+    * cf=1: ``deg(free)·(1+jaccard(qi,qj)) / |domain|``
+    * cf≥2: ``1 / |domain|``
+
+    (``deg``/``jaccard`` over the PATTERN graph, Graph.py:149-163,
+    225-232). One deliberate divergence: the reference multiplies by
+    the bare jaccard, which is 0 for EVERY edge of a tree-shaped
+    pattern — collapsing its first pick to input order; smoothing to
+    ``1 + jaccard`` keeps the domain estimate decisive there while
+    preserving the reference's ranking whenever jaccard
+    discriminates."""
+    if not pattern.edges:
         return []
-    first = max(remaining, key=selectivity)
-    order = [first]
-    remaining.remove(first)
-    bound = {first.src, first.dst}
-    while remaining:
-        connected = [e for e in remaining if e.src in bound or e.dst in bound]
-        pick = max(connected or remaining, key=selectivity)
-        order.append(pick)
-        remaining.remove(pick)
-        bound.update((pick.src, pick.dst))
+
+    if domain_card is None:
+
+        def selectivity(e: PatternEdge) -> int:
+            s = len(pattern.nodes[e.src]) + len(pattern.nodes[e.dst])
+            s += len(pattern.node_props.get(e.src) or ())
+            s += len(pattern.node_props.get(e.dst) or ())
+            s += len(e.props)
+            return s + (2 if e.type != WILDCARD else 0)
+
+        remaining = list(pattern.edges)
+        first = max(remaining, key=selectivity)
+        order = [first]
+        remaining.remove(first)
+        bound = {first.src, first.dst}
+        while remaining:
+            connected = [
+                e for e in remaining if e.src in bound or e.dst in bound
+            ]
+            pick = max(connected or remaining, key=selectivity)
+            order.append(pick)
+            remaining.remove(pick)
+            bound.update((pick.src, pick.dst))
+        return order
+
+    deg = {n: 0 for n in pattern.nodes}
+    for e in pattern.edges:
+        deg[e.src] += 1
+        deg[e.dst] += 1
+    remaining_i = list(range(len(pattern.edges)))
+    bound: set[str] = set()
+    order = []
+    while remaining_i:
+
+        def score(i: int) -> tuple:
+            e = pattern.edges[i]
+            cf = int(e.src in bound) + int(e.dst in bound)
+            dom = max(float(domain_card.get(i, 1.0)), 1e-9)
+            jac = 1.0 + _pattern_jaccard(pattern, e.src, e.dst)
+            if cf == 0:
+                s = deg[e.src] * deg[e.dst] * jac / dom
+            elif cf == 1:
+                free = e.src if e.src not in bound else e.dst
+                s = deg[free] * jac / dom
+            else:
+                s = 1.0 / dom
+            return (cf, s, -i)  # -i: deterministic first-listed tiebreak
+
+        best = max(remaining_i, key=score)
+        remaining_i.remove(best)
+        e = pattern.edges[best]
+        order.append(e)
+        bound.update((e.src, e.dst))
     return order
+
+
+def edge_domain_estimates(
+    pattern: Pattern, edges: DataFrame, vertices: DataFrame | None = None
+) -> dict[int, float]:
+    """O1 domain-cardinality estimates, one per pattern-edge index:
+    ``|domain(e)| ≈ count(type) × sel(labels(src)) × sel(labels(dst))``
+    — the label-frequency × type-frequency proxy for the reference's
+    per-edge compatibility-domain cardinality
+    (``CompatibilityDomain.py:17-48``). Costs two tiny catalog
+    aggregates (distinct-type counts; per-label counts) collected once
+    at planning time — broadcast-sized statistics, never data-sized."""
+    type_counts = {
+        r["type"]: int(r["c"])
+        for r in edges.groupBy("type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total_edges = sum(type_counts.values())
+    label_frac: dict[str, float] = {}
+    if vertices is not None:
+        n_v = vertices.count()
+        label_frac = {
+            r["l"]: int(r["c"]) / max(n_v, 1)
+            for r in vertices.select(F.explode("labels").alias("l"))
+            .groupBy("l")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+    out: dict[int, float] = {}
+    for i, e in enumerate(pattern.edges):
+        dom = float(
+            type_counts.get(e.type, total_edges)
+            if e.type == WILDCARD or e.type in type_counts
+            else 0.0
+        )
+        for node in (e.src, e.dst):
+            for lbl in pattern.nodes.get(node) or []:
+                dom *= label_frac.get(lbl, 0.0) if label_frac else 1.0
+        out[i] = dom
+    return out
 
 
 def _props_pred(col: str, props: tuple) -> F.Column | None:
@@ -152,6 +261,7 @@ def match(
     break_symmetry: bool = False,
     degree_filter: bool | None = None,
     prefilter_catalog: bool = False,
+    order_stats: bool = False,
 ) -> DataFrame:
     """All injective embeddings of ``pattern``.
 
@@ -164,9 +274,11 @@ def match(
     ``MultiGraphMatch.py:7-15`` node_mapping + edge_mapping); the
     default projects distinct node embeddings.
     ``break_symmetry=True`` applies the safe single-orbit anchor
-    condition (G4; see :mod:`cminer_spark.operators.orbits`) — keeps
-    ≥1 representative per automorphism class, dropping within-orbit
-    relabelings. The reference ships this disabled
+    condition (G4; see :mod:`cminer_spark.operators.orbits`) plus the
+    parallel-edge key conditions (reference
+    ``BreakingConditions.py:98-119``) — keeps ≥1 representative per
+    automorphism class, dropping within-orbit relabelings and
+    parallel-edge key swaps. The reference ships this disabled
     (``BreakingConditions.py`` call sites commented out), so it is
     opt-in here too.
     ``degree_filter`` — J3 degree-domain prefilter (reference
@@ -185,6 +297,14 @@ def match(
     ``match`` eager (it runs the catalog jobs at call time); the lazy
     path gets the same pruning from the label-selective scans, just
     not the abort.
+    ``order_stats`` — O1 statistics-driven join ordering (reference
+    ``Ordering.py:13-47``): collect the target's tiny type/label
+    catalogs and order query edges by the reference's
+    ``deg·jaccard/|domain|`` score shape (see
+    :func:`edge_domain_estimates`) instead of the lazy
+    constraint-count heuristic. Opt-in for the same reason as
+    ``prefilter_catalog`` (eager catalog jobs at call time); pure
+    join-order performance, zero semantics.
     """
     if graph_col is None and "graph_id" in edges.columns:
         graph_col = "graph_id"
@@ -288,7 +408,10 @@ def match(
                 )
         return c
 
-    order = _order_edges(pattern)
+    order = _order_edges(
+        pattern,
+        edge_domain_estimates(pattern, edges, vertices) if order_stats else None,
+    )
     if not order:
         # node-only pattern: bind nodes from the vertex table (J8)
         if vertices is None:
@@ -368,13 +491,24 @@ def match(
         bound_nodes.add(n)
 
     if break_symmetry:
-        from cminer_spark.operators.orbits import symmetry_breaking_predicate
+        from cminer_spark.operators.orbits import (
+            parallel_edge_symmetry_groups,
+            symmetry_breaking_predicate,
+        )
 
         cond = symmetry_breaking_predicate(pattern)
         if cond is not None:
             anchor, others = cond
             for o in others:
                 emb = emb.where(F.col(f"n_{anchor}") < F.col(f"n_{o}"))
+        # edge-key conditions (BreakingConditions.py:98-119): within a
+        # group of interchangeable parallel edges, force ascending
+        # target-edge bindings — both endpoints bind the same target
+        # vertices, so the struct comparison reduces to the key
+        for ge in parallel_edge_symmetry_groups(pattern):
+            pos = [i for i, oe in enumerate(order) if oe == ge]
+            for a, b in zip(pos, pos[1:]):
+                emb = emb.where(F.col(f"e_{a}") < F.col(f"e_{b}"))
     return _finalize(emb, pattern, graph_col, len(order), include_edges)
 
 

@@ -152,8 +152,13 @@ def _extension_candidates(
         )
 
     # outgoing edges from a bound node: the dst is either unbound (node
-    # extension) or a DIFFERENT bound node (cycle-closing edge ext —
-    # classified here only, so each closing edge is emitted once)
+    # extension), a DIFFERENT bound node (cycle-closing edge ext) or
+    # the attach node itself (_po == _qi + 1 → SELF-LOOP edge ext; the
+    # reference draws edge-extension candidates from the induced
+    # subgraph over mapped vertices, CMiner.py:285-296 via
+    # Graph.py:607-623, which includes self-loops). Classified here
+    # only, so each closing edge is emitted once — embeddings are
+    # injective, so exactly one bound position holds dst.
     out = packed.join(
         ev, (F.col("_g") == F.col("_ge")) & (F.col("_nval") == F.col("src"))
     ).where(~F.array_contains("_edges", new_edge)).withColumn(
@@ -161,7 +166,7 @@ def _extension_candidates(
     )
     branches = [
         shape(
-            out.where((F.col("_po") > 0) & (F.col("_po") != F.col("_qi") + 1)),
+            out.where(F.col("_po") > 0),
             "edge", None, F.col("_po") - 1, None, None,
         )
     ]
@@ -200,6 +205,7 @@ def mine_frequent_patterns(
     start_patterns: list[Pattern] | None = None,
     with_graph_counts: bool = False,
     keep_embeddings: bool = False,
+    on_pattern=None,
 ) -> list[MinedPattern]:
     """Mine frequent patterns from a transactional DB.
 
@@ -216,6 +222,10 @@ def mine_frequent_patterns(
     ``keep_embeddings``: retain each pattern's lazy embeddings frame
     (and the caches it reads) for show_mappings output; the caller
     owns cache cleanup (``spark.catalog.clearCache()``).
+    ``on_pattern``: callback invoked with each qualifying
+    :class:`MinedPattern` AS IT IS EMITTED — streamed result output,
+    like the reference's per-pattern file append (``CMiner.py:503-516``;
+    see :func:`pattern_block_text`). The full list is still returned.
     """
     n_graphs = vertices.select(graph_col).distinct().count()
     if min_support <= 1 and isinstance(min_support, float):
@@ -247,29 +257,48 @@ def mine_frequent_patterns(
         )
         if min_nodes <= len(p.nodes) <= max_nodes:
             results.append(mp)
+            if on_pattern is not None:
+                on_pattern(mp)
         return mp
 
     if start_patterns is None:
         # --- seed: 1-node patterns by full label set (A2) --------------
-        # one aggregation at (lcode, graph) grain → sup/freq/per-graph
-        # counts derived driver-side from the same collect
+        # support + HAVING filter IN Spark: the driver receives one row
+        # per FREQUENT label-set code, never the (codes × graphs) grain
+        # — at 10^7-10^8 transactions that grain is a driver-side
+        # collect bomb. Per-graph counts (the reference's `x` lines)
+        # are fetched in a second aggregate restricted to the frequent
+        # codes, and only when with_graph_counts is requested.
         seed_rows = (
-            v.groupBy("lcode", "_g").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            v.groupBy("lcode")
+            .agg(
+                F.countDistinct("_g").alias("sup"),
+                F.count(F.lit(1)).alias("freq"),
+            )
+            .where(F.col("sup") >= min_support)
+            .collect()
         )
-        per_code: dict[str, dict] = {}
-        for row in seed_rows:
-            d = per_code.setdefault(row["lcode"], {})
-            d[row["_g"]] = int(row["cnt"])
-        for lcode, gcounts in sorted(per_code.items()):
-            if len(gcounts) < min_support:
-                continue
+        per_graph: dict[str, dict] = {}
+        if with_graph_counts and seed_rows:
+            codes = sorted(r["lcode"] for r in seed_rows)
+            for row in (
+                v.where(F.col("lcode").isin(codes))
+                .groupBy("lcode", "_g")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            ):
+                per_graph.setdefault(row["lcode"], {})[row["_g"]] = int(row["cnt"])
+        for r in sorted(seed_rows, key=lambda r: r["lcode"]):
+            lcode = r["lcode"]
             labels = lcode.split("|") if lcode else []
             p = Pattern().add_node("q0", labels)
             emb = v.where(F.col("lcode") == lcode).select(
                 "_g", F.col("v_id").alias("n_q0")
             )
             seen_codes.add(canonical_code(p))
-            _record(p, emb, len(gcounts), sum(gcounts.values()), gcounts)
+            _record(
+                p, emb, int(r["sup"]), int(r["freq"]), per_graph.get(lcode, {})
+            )
             frontier.append((p, emb, 0))
     else:
         # --- seed: user patterns localized via the matcher -------------
@@ -279,21 +308,30 @@ def mine_frequent_patterns(
                 .withColumnRenamed(graph_col, "_g")
                 .persist()
             )
-            grouped = emb.groupBy("_g").agg(F.count(F.lit(1)).alias("cnt")).collect()
-            gcounts = {r["_g"]: int(r["cnt"]) for r in grouped}
-            if len(gcounts) < min_support:
+            stats_row = emb.agg(
+                F.countDistinct("_g").alias("sup"), F.count(F.lit(1)).alias("freq")
+            ).collect()[0]
+            sup, freq = int(stats_row["sup"]), int(stats_row["freq"])
+            if sup < min_support:
                 emb.unpersist()
                 continue
             code = canonical_code(p)
             if code in seen_codes:
                 emb.unpersist()
                 continue
+            gcounts: dict = {}
+            if with_graph_counts:
+                gcounts = {
+                    r["_g"]: int(r["cnt"])
+                    for r in emb.groupBy("_g")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
             seen_codes.add(code)
-            _record(p, emb, len(gcounts), sum(gcounts.values()), gcounts)
+            _record(p, emb, sup, freq, gcounts)
             frontier.append((p, emb, len(p.edges)))
 
     group_keys = ["_pid", "_kind", "_qi", "_qj", "_dir", "type", "_lnew"]
-    prev_cache: DataFrame | None = None
     while frontier:
         next_frontier: list[tuple[Pattern, DataFrame, int]] = []
 
@@ -312,11 +350,6 @@ def mine_frequent_patterns(
             )
         if not branches:
             break
-        import os as _os
-        import time as _time
-
-        _dbg = _os.environ.get("CMINER_MINE_DEBUG") == "1"
-        _t0 = _time.time()
         # balanced tree union: Dataset creation analyzes its plan
         # eagerly, so a linear unionByName chain costs O(B²) analyzer
         # node-visits over B branches; pairing halves that to O(B log B)
@@ -341,46 +374,48 @@ def mine_frequent_patterns(
         # cand inside the aggregation job below and re-roots every
         # child at a LogicalRDD — plans stay O(branches) per level.
         cand = cand.localCheckpoint(eager=False)
-        if _dbg:
-            print(
-                f"[mine] level: {len(by_pid)} patterns, {len(branches)} branches, "
-                f"plan-build {_time.time() - _t0:.2f}s",
-                flush=True,
-            )
-            _t0 = _time.time()
 
         # THE one job per level: every (pattern, extension key)'s
-        # support + frequency (+ per-graph counts) at once
-        if with_graph_counts:
-            rows = (
-                cand.groupBy(*group_keys, "_g")
+        # support + frequency, HAVING-filtered in Spark — the driver
+        # receives O(frequent extension keys) rows
+        rows = (
+            cand.groupBy(*group_keys)
+            .agg(
+                F.countDistinct("_g").alias("sup"),
+                F.count(F.lit(1)).alias("freq"),
+            )
+            .where(F.col("sup") >= min_support)
+            .collect()
+        )
+        stats = {
+            tuple(r[c] for c in group_keys): (int(r["sup"]), int(r["freq"]))
+            for r in rows
+        }
+        gmap: dict[tuple, dict] = {}
+        if with_graph_counts and rows:
+            # per-graph counts for the FREQUENT extension keys only: a
+            # broadcast semi-join against the tiny frequent-key list
+            # keeps the collect at O(frequent keys × graphs-with-hit),
+            # never the raw (keys × graphs) grain
+            spark = cand.sparkSession
+            keys_df = spark.createDataFrame(
+                [tuple(r[c] for c in group_keys) for r in rows],
+                "_pid long, _kind string, _qi int, _qj int, _dir string, "
+                "type string, _lnew string",
+            )
+            cond = None
+            for k in group_keys:
+                p = cand[k].eqNullSafe(keys_df[k])
+                cond = p if cond is None else cond & p
+            for r in (
+                cand.join(F.broadcast(keys_df), cond, "left_semi")
+                .groupBy(*group_keys, "_g")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
-            )
-            stats: dict[tuple, dict] = {}
-            for r in rows:
-                k = tuple(r[c] for c in group_keys)
-                stats.setdefault(k, {})[r["_g"]] = int(r["cnt"])
-        else:
-            rows = (
-                cand.groupBy(*group_keys)
-                .agg(
-                    F.countDistinct("_g").alias("sup"),
-                    F.count(F.lit(1)).alias("freq"),
-                )
-                .where(F.col("sup") >= min_support)
-                .collect()
-            )
-            stats = {
-                tuple(r[c] for c in group_keys): {
-                    "__sup__": int(r["sup"]),
-                    "__freq__": int(r["freq"]),
-                }
-                for r in rows
-            }
-        if _dbg:
-            print(f"[mine] level agg job {_time.time() - _t0:.2f}s", flush=True)
-
+            ):
+                gmap.setdefault(tuple(r[c] for c in group_keys), {})[
+                    r["_g"]
+                ] = int(r["cnt"])
         for key_tuple in sorted(
             stats, key=lambda k: tuple("" if x is None else str(x) for x in k)
         ):
@@ -389,15 +424,8 @@ def mine_frequent_patterns(
             pat_nodes = list(pattern.nodes)
             qi = pat_nodes[qi_pos]
             qj = pat_nodes[qj_pos] if qj_pos is not None else None
-            gstats = stats[key_tuple]
-            if with_graph_counts:
-                sup, freq, gcounts = (
-                    len(gstats), sum(gstats.values()), gstats,
-                )
-                if sup < min_support:
-                    continue
-            else:
-                sup, freq, gcounts = gstats["__sup__"], gstats["__freq__"], {}
+            sup, freq = stats[key_tuple]
+            gcounts = gmap.get(key_tuple, {})
 
             p2 = Pattern(dict(pattern.nodes), list(pattern.edges),
                          dict(pattern.node_props))
@@ -447,14 +475,55 @@ def mine_frequent_patterns(
         # inputs — the previous level's checkpoint blocks are only
         # referenced by DataFrames we drop here, so the ContextCleaner
         # reclaims them on GC (localCheckpoint blocks have no
-        # cacheManager entry to unpersist explicitly)
-        prev_cache = cand
+        # cacheManager entry to unpersist explicitly; the current
+        # level's cand is kept alive by next_frontier's child frames)
         frontier = next_frontier
 
     if not keep_embeddings:
         v.unpersist()
         e.unpersist()
     return results
+
+
+def pattern_block_text(mp: MinedPattern, pattern_id: int) -> str:
+    """Driver-side render of ONE mined pattern as the reference's
+    ``t/v/e/s/f[/x]`` block — byte-identical to
+    :func:`cminer_spark.sources.data_format.write_patterns_text` output
+    for the same row (parity-tested). Used for STREAMED result
+    emission: the reference appends each pattern to the output file as
+    it is emitted (``CMiner.py:503-516``) instead of buffering the full
+    result set."""
+    node_ids = {n: j for j, n in enumerate(mp.pattern.nodes)}
+    # one part per sink concat_ws element — including the quirks: the
+    # sink's concat_ws skips NULLs but keeps EMPTY strings, so empty
+    # label lists leave a trailing space and an edge-less pattern keeps
+    # an empty e-block line
+    v_block = "\n".join(
+        " ".join(["v", str(node_ids[n]), " ".join(mp.pattern.nodes[n])])
+        for n in mp.pattern.nodes
+    )
+    e_block = "\n".join(
+        " ".join(["e", str(node_ids[e.src]), str(node_ids[e.dst]), e.type])
+        for e in mp.pattern.edges
+    )
+    parts = [
+        f"t # {pattern_id}",
+        v_block,
+        e_block,
+        f"s {mp.support}",
+        f"f {mp.frequency}",
+    ]
+    if mp.graph_counts:
+        parts.append(
+            "x "
+            + " ".join(
+                f"({g}, {int(c)})"
+                for g, c in sorted(
+                    mp.graph_counts.items(), key=lambda kv: str(kv[0])
+                )
+            )
+        )
+    return "\n".join(parts)
 
 
 def patterns_to_df(spark, mined: list[MinedPattern]) -> DataFrame:

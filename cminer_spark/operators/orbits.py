@@ -121,6 +121,24 @@ def automorphism_node_orbits(pattern: Pattern) -> list[set[str]]:
     return sorted(orbits, key=lambda o: min(o))
 
 
+def parallel_edge_symmetry_groups(pattern: Pattern) -> list:
+    """Edge-key symmetry groups (reference edge breaking conditions,
+    ``BreakingConditions.py:98-119``): parallel pattern edges with the
+    same endpoints, type AND attrs are interchangeable by an
+    automorphism that fixes every node, so their target-edge bindings
+    can be forced into ascending order. Returns one representative
+    ``PatternEdge`` per group of size ≥ 2 (PatternEdge is a frozen
+    dataclass — equal fields ⇒ equal edge). Safe to compose with the
+    single-node-orbit anchor: the edge permutations act on edge
+    bindings with all nodes fixed (a direct product with the node
+    symmetry), so each combined automorphism class keeps ≥1
+    representative."""
+    from collections import Counter
+
+    counts = Counter(pattern.edges)
+    return [e for e, n in sorted(counts.items(), key=lambda kv: repr(kv[0])) if n >= 2]
+
+
 def symmetry_breaking_predicate(pattern: Pattern) -> tuple[str, list[str]] | None:
     """The safe single-orbit anchor condition: ``(anchor, others)``
     where the anchor (smallest-id member of the first non-trivial

@@ -101,7 +101,16 @@ def pagerank(
     # keeps tasks meaningful; the cap at spark.sql.shuffle.partitions
     # preserves the large-graph plan (66M edges still gets the full
     # 2×cores spread — the scaling campaign is unaffected).
+    #
+    # This is the ONE setup scan of the input; its count is also
+    # reported as ``info.n_edges``. Semantics: multigraph edge ROWS —
+    # parallel (src, dst) edges count separately (they carry separate
+    # weight shares through the stochastic matrix); the distinct-pair
+    # cardinality is not computed. The normalized adjacency is NOT
+    # separately counted — its persist materializes inside the salting
+    # probe (or the first superstep).
     n_raw = pairs.count()
+    info.n_edges = n_raw
     iter_parts = min(shuffle_parts, max(1, -(-n_raw // 250_000)))
 
     # Normalized adjacency, built once, in ONE shuffle: hash-partition
@@ -130,10 +139,8 @@ def pagerank(
             .agg(F.collect_list(F.struct("dst", "p")).alias("adj"))
             .persist()
         )
-        info.n_edges = adj.agg(F.sum(F.size("adj"))).collect()[0][0] or 0
     else:
         adj = norm.persist()
-        info.n_edges = adj.count()
 
     verts = pairs.select(F.col("src").alias("v_id")).union(
         pairs.select(F.col("dst").alias("v_id"))
@@ -148,17 +155,21 @@ def pagerank(
         verts.unpersist()
         return spark.createDataFrame([], "v_id long, rank double"), info
 
-    # Salting decision: a destination is "hot" when its in-degree
-    # dwarfs the average per-shuffle-partition share (partial map-side
+    # Salting decision via the hub probe (graph.hub_vertices): salt
+    # when some destination is BOTH a relative hub (in-degree > 4× the
+    # p99 in-degree) AND hot in absolute terms — its in-degree dwarfs
+    # the average per-shuffle-partition share (partial map-side
     # aggregation already bounds per-mapper load; salting bounds the
     # reducer key).
     if salt_partitions is None:
+        from cminer_spark.operators.graph import hub_vertices
+
         hot_bar = max(10 * info.n_edges // max(shuffle_parts, 1), 1000)
         in_deg_src = norm if use_csr else adj
-        max_in = (
-            in_deg_src.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+        max_hub = (
+            hub_vertices(in_deg_src).agg(F.max("in_deg")).collect()[0][0]
         )
-        salt_partitions = 16 if (max_in or 0) > hot_bar else 1
+        salt_partitions = 16 if (max_hub or 0) > hot_bar else 1
     info.salted = salt_partitions > 1
     if info.salted:
         adj_salted = adj.withColumn(
@@ -172,6 +183,7 @@ def pagerank(
     # separate scan: power iteration preserves Σrank = 1 exactly (up
     # to ~1e-16/step float drift), so dangling = 1 - Σ in_mass — one
     # scalar aggregate over the already-computed sums.
+    check_convergence = tol > 0.0
     start_iter = 0
     state = verts.select("v_id", F.lit(1.0 / n).alias("rank"))
     if checkpoint is not None:
@@ -180,9 +192,23 @@ def pagerank(
             start_iter, state, _meta = resume
             state = state.select("v_id", "rank")
             info.resumed_from = start_iter
+            # If the resumed-from superstep already met the convergence
+            # criterion, STOP: an uninterrupted run returned exactly
+            # this state, and running one "extra" superstep would drift
+            # the ranks past it (resume must equal fresh).
+            last_delta = (_meta.get("metrics") or {}).get("l1_delta")
+            if (
+                check_convergence
+                and last_delta is not None
+                and last_delta < n * tol
+            ):
+                info.iterations = start_iter
+                info.converged = True
+                info.deltas.append(last_delta)
+                adj.unpersist()
+                verts.unpersist()
+                return state.select("v_id", "rank"), info
     state = truncate_lineage(state)
-
-    check_convergence = tol > 0.0
     info.setup_sec = round(time.time() - t_setup, 3)
     store = EphemeralStateStore(spark, "pagerank") if checkpoint is None else None
     for it in range(start_iter + 1, max_iter + 1):

@@ -78,23 +78,31 @@ def _decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
             "real media decode requires PIL/libav — not available in this "
             "container; pass fake=True for the deterministic stand-in"
         )
-    feats = []
-    n_bytes = []
-    for payload in pdf["payload"]:
-        buf = np.frombuffer(payload or b"", dtype=np.uint8)
-        n_bytes.append(len(buf))
-        if len(buf) == 0:
-            feats.append([0.0] * FEATURE_DIM)
-            continue
-        # deterministic "feature": per-bucket byte histogram, normalized
-        hist = np.bincount(buf % FEATURE_DIM, minlength=FEATURE_DIM).astype(float)
-        feats.append((hist / hist.sum()).round(9).tolist())
+    # deterministic "feature": per-bucket byte histogram, normalized —
+    # computed for the WHOLE batch in one vectorized pass: payloads
+    # concatenate into a single uint8 buffer (C-level join), a
+    # row-id×bucket code array feeds ONE bincount, and the reshape
+    # gives per-row histograms with no per-payload Python loop.
+    payloads = pdf["payload"].fillna(b"")
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(pdf))
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    rows = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    hist = (
+        np.bincount(
+            rows * FEATURE_DIM + (buf % FEATURE_DIM),
+            minlength=len(pdf) * FEATURE_DIM,
+        )
+        .reshape(len(pdf), FEATURE_DIM)
+        .astype(float)
+    )
+    sums = hist.sum(axis=1, keepdims=True)
+    np.divide(hist, sums, out=hist, where=sums > 0)  # empty payload → zeros
     return pd.DataFrame(
         {
             "media_id": pdf["media_id"],
             "kind": pdf["kind"],
-            "n_bytes": pd.array(n_bytes, dtype="int32"),
-            "feature": feats,
+            "n_bytes": pd.array(lens, dtype="int32"),
+            "feature": list(hist.round(9)),
         }
     )
 

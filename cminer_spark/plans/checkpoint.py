@@ -28,9 +28,11 @@ sidecars via :class:`_HadoopIO` (``Path.getFileSystem`` on the
 session's Hadoop conf) — so the checkpoint directory may be a local
 path, NFS, HDFS, or an object store (s3a://, gs://, abfss://) with
 the matching connector on the classpath. Commit markers rely on
-``FileSystem.rename`` as the commit point; on stores where rename is
-copy+delete the marker is still written whole-file, so a reader never
-observes a partial marker.
+``FileContext.rename(Rename.OVERWRITE)`` as the commit point (atomic
+replace; falls back to ``FileSystem.rename`` with a CHECKED boolean
+return on schemes without an AbstractFileSystem binding); on stores
+where rename is copy+delete the marker is still written whole-file, so
+a reader never observes a partial marker.
 """
 
 from __future__ import annotations
@@ -50,11 +52,12 @@ class _HadoopIO:
 
     def __init__(self, spark: SparkSession, base: str):
         jvm = spark._jvm
+        self._jvm = jvm
+        self._gateway = spark._sc._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._IOUtils = jvm.org.apache.commons.io.IOUtils
-        self.fs = self._Path(base).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
+        self.fs = self._Path(base).getFileSystem(self._conf)
 
     def mkdirs(self, path: str) -> None:
         self.fs.mkdirs(self._Path(path))
@@ -80,9 +83,34 @@ class _HadoopIO:
         finally:
             out.close()
         dst = self._Path(path)
-        if self.fs.exists(dst):
+        # Commit point. Preferred: FileContext.rename(OVERWRITE) — the
+        # posix-rename analog (atomic replace, throws on failure), so
+        # overwriting an existing marker (update_metrics) has NO
+        # delete→rename window in which a crash would silently
+        # un-commit an already-committed iteration.
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst.toUri(), self._conf
+            )
+            opts = self._gateway.new_array(
+                self._jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(tmp, dst, opts)
+            return
+        except Exception:
+            # schemes without an AbstractFileSystem binding (e.g. bare
+            # s3a) have no FileContext — fall back to FileSystem.rename,
+            # which reports failure by RETURNING FALSE, not throwing.
+            pass
+        if not self.fs.rename(tmp, dst):
+            # likely dst exists (HDFS/local rename refuses to clobber):
+            # replace it, accepting the (fallback-only) delete window
+            if not self.fs.exists(dst):
+                raise IOError(f"checkpoint marker rename failed: {path}")
             self.fs.delete(dst, False)
-        self.fs.rename(tmp, dst)  # commit point
+            if not self.fs.rename(tmp, dst):
+                raise IOError(f"checkpoint marker rename failed: {path}")
 
     def delete_recursive(self, path: str) -> None:
         p = self._Path(path)

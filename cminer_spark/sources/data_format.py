@@ -50,6 +50,13 @@ def read_data_db(
     vertices: (graph_id string, v_id long, labels array<string>)
     edges:    (graph_id string, src long, dst long, key int, type string)
     """
+    # `lines` is scanned TWICE (the per-split carry aggregate below,
+    # then the tagged output), so it carries only the CHEAP first-pass
+    # expressions: trim + a header parse that tokenizes `t` lines only
+    # (`when` evaluates its branch conditionally in codegen — the rare
+    # header lines pay the split, the v/e bulk does not). The full
+    # tokenization happens once, downstream of the carry join.
+    header_toks = F.split("line", " +")
     lines = (
         spark.read.text(path)
         .select(
@@ -59,13 +66,11 @@ def read_data_db(
             F.trim(F.col("value")).alias("line"),
         )
         .where(F.col("line") != "")
-        .withColumn("toks", F.split("line", " +"))
-        .withColumn("kind", F.get("toks", 0))
         .withColumn(
             "hdr",
             F.when(
-                F.col("kind") == "t",
-                F.coalesce(F.get("toks", 3), F.get("toks", 2)),
+                F.col("line").rlike("^t( |$)"),
+                F.coalesce(F.get(header_toks, 3), F.get(header_toks, 2)),
             ),
         )
     )
@@ -101,6 +106,8 @@ def read_data_db(
             ),
         )
         .withColumn("pos", F.struct("blk", "rid"))
+        .withColumn("toks", F.split("line", " +"))
+        .withColumn("kind", F.get("toks", 0))
     )
 
     def _num_id(tok: F.Column) -> F.Column:

@@ -101,29 +101,51 @@ def read_csv_graph_db(
 def read_json_graph(
     spark: SparkSession, path: str, graph_id: str = "g0"
 ) -> tuple[DataFrame, DataFrame]:
-    """Read a networkx node-link JSON document."""
+    """Read a networkx node-link JSON document.
+
+    Every extra node/edge attribute becomes a ``map<string,string>``
+    ``props`` entry — the reference's node-link load carries all attrs
+    (``NetworksLoading.py:173-178``), which the F4 attribute-containment
+    matcher can then query; parity with the CSV path."""
     doc = spark.read.option("multiLine", True).json(path)
-    nodes = doc.select(F.explode("nodes").alias("n")).select(
-        F.lit(graph_id).alias("graph_id"),
-        F.col("n.id").cast("long").alias("v_id"),
+    nodes_flat = doc.select(F.explode("nodes").alias("n")).select("n.*")
+    labels_col = (
         F.sort_array(
-            F.coalesce(F.col("n.labels"), F.array().cast("array<string>"))
-        ).alias("labels"),
+            F.coalesce(F.col("labels"), F.array().cast("array<string>"))
+        )
+        if "labels" in nodes_flat.columns
+        else F.array().cast("array<string>")
+    )
+    nodes = nodes_flat.select(
+        F.lit(graph_id).alias("graph_id"),
+        F.col("id").cast("long").alias("v_id"),
+        labels_col.alias("labels"),
+        _props_map(nodes_flat, ["id", "labels"]).alias("props"),
     )
     links_col = "links" if "links" in doc.columns else "edges"
     # document order is the reference's key-allocation order
     # (Graph.py:44-49): posexplode keeps it, making keys deterministic
+    links_flat = doc.select(
+        F.posexplode(links_col).alias("_pos", "e")
+    ).select("_pos", "e.*")
+    type_col = (
+        F.coalesce(F.col("type"), F.lit(""))
+        if "type" in links_flat.columns
+        else F.lit("")
+    )
     kw = Window.partitionBy("src", "dst").orderBy("_pos")
     edges = (
-        doc.select(F.posexplode(links_col).alias("_pos", "e"))
-        .select(
+        links_flat.select(
             F.lit(graph_id).alias("graph_id"),
-            F.col("e.source").cast("long").alias("src"),
-            F.col("e.target").cast("long").alias("dst"),
-            F.coalesce(F.col("e.type"), F.lit("")).alias("type"),
+            F.col("source").cast("long").alias("src"),
+            F.col("target").cast("long").alias("dst"),
+            type_col.alias("type"),
+            _props_map(links_flat, ["source", "target", "type", "_pos"]).alias(
+                "props"
+            ),
             "_pos",
         )
         .withColumn("key", (F.row_number().over(kw) - 1).cast("int"))
-        .select("graph_id", "src", "dst", "key", "type")
+        .select("graph_id", "src", "dst", "key", "type", "props")
     )
     return nodes, edges

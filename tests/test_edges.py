@@ -108,6 +108,66 @@ def test_arrow_kernel_matches_pandas_kernel():
     assert key(got) == key(want) and len(got) == len(want)
 
 
+def test_arrow_kernel_matches_pandas_kernel_null_conv_id():
+    """NULL conv_ids form ONE conversation in both kernels — whether
+    the null run sits at the head (Spark sorts nulls first) or at the
+    tail (exercising the pending-carry split on a null last id)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cminer_spark.operators.edges import (
+        _conv_stream_kernel_arrow,
+        _edges_from_arrow,
+    )
+
+    cases = [
+        [{"conv_id": None, "turn_idx": i, "tool": None} for i in (0, 1, 2)]
+        + [
+            {"conv_id": "a", "turn_idx": i, "tool": "t" if i == 1 else None}
+            for i in (0, 1)
+        ],
+        [{"conv_id": "a", "turn_idx": i, "tool": None} for i in (0, 1)]
+        + [
+            {"conv_id": None, "turn_idx": i, "tool": "t" if i == 2 else None}
+            for i in (0, 1, 2)
+        ],
+    ]
+    schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int64()), ("tool", pa.string())]
+    )
+    for rows in cases:
+        pdf = pd.DataFrame(rows)
+        pd_batches = [pdf.iloc[i : i + 2] for i in range(0, len(pdf), 2)]
+        want = pd.concat(
+            list(_conv_stream_kernel(_edges_from_batch)(iter(pd_batches)))
+        )
+        pa_batches = [
+            pa.RecordBatch.from_pandas(b, schema=schema, preserve_index=False)
+            for b in pd_batches
+        ]
+        got = pa.Table.from_batches(
+            list(_conv_stream_kernel_arrow(_edges_from_arrow)(iter(pa_batches)))
+        ).to_pandas()
+
+        key = lambda df: sorted(
+            (
+                r.conv_id if isinstance(r.conv_id, str) else "\0null",
+                int(r.src_turn),
+                -1 if pd.isna(r.dst_turn) else int(r.dst_turn),
+                r.tool if isinstance(r.tool, str) else None,
+            )
+            for r in df.itertuples()
+        )
+        assert key(got) == key(want) and len(got) == len(want)
+        # the null run itself pairs: 3 null turns → 2 replies_to edges
+        n_null_replies = sum(
+            1
+            for r in got.itertuples()
+            if not isinstance(r.conv_id, str) and pd.isna(r.tool)
+        )
+        assert n_null_replies == 2
+
+
 def test_text_equality_invariant(spark):
     """BASELINE.json input_hint: per-turn text equality under stable
     turn ordering must survive the edge-extraction path."""

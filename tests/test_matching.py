@@ -339,3 +339,64 @@ def test_prefilter_catalog_early_abort(spark):
         (r["n_u"], r["n_v"]) for r in match(p_ok, edf, vdf).collect()
     }
     assert got == want == {(1, 2)}
+
+
+def test_order_stats_selective_edge_leads(spark):
+    """O1 (reference Ordering.py:13-47 score shape): with catalog
+    statistics the RARE-typed edge leads the join order on a skewed
+    graph, and the embeddings are identical to the default ordering."""
+    from cminer_spark.operators.matching import (
+        _order_edges,
+        edge_domain_estimates,
+    )
+
+    rows = [(i, i + 1000, 0, "common") for i in range(500)]
+    rows += [(1, 2000, 0, "rare"), (7, 2000, 0, "rare")]
+    edf = spark.createDataFrame(rows, "src long, dst long, key int, type string")
+    p = (
+        Pattern()
+        .add_node("a")
+        .add_node("b")
+        .add_node("c")
+        .add_edge("a", "b", "common")
+        .add_edge("a", "c", "rare")
+    )
+    dom = edge_domain_estimates(p, edf)
+    assert dom[0] > dom[1]  # 500 common vs 2 rare
+    order = _order_edges(p, dom)
+    assert order[0].type == "rare"
+    # the stat-less heuristic ties on constraint count → input order
+    assert _order_edges(p)[0].type == "common"
+    base = {(r.n_a, r.n_b, r.n_c) for r in match(p, edf).collect()}
+    stat = {
+        (r.n_a, r.n_b, r.n_c)
+        for r in match(p, edf, order_stats=True).collect()
+    }
+    assert base == stat and (1, 1001, 2000) in base and len(base) == 2
+
+
+def test_parallel_edge_symmetry_breaking(spark):
+    """G4 edge-key conditions (reference BreakingConditions.py:98-119):
+    a pattern whose two parallel edges are interchangeable keeps
+    exactly ONE representative per automorphism class, with ascending
+    target-edge keys."""
+    edf = spark.createDataFrame(
+        [(1, 2, 0, "w"), (1, 2, 1, "w"), (3, 4, 0, "w")],
+        "src long, dst long, key int, type string",
+    )
+    p = Pattern().add_edge("u", "v", "w").add_edge("u", "v", "w")
+    plain = match(p, edf, include_edges=True).collect()
+    assert len(plain) == 2  # both key assignments
+    broken = match(p, edf, include_edges=True, break_symmetry=True).collect()
+    assert len(broken) == 1
+    r = broken[0]
+    assert (r.n_u, r.n_v) == (1, 2)
+    assert r.e_0.key < r.e_1.key
+    # differently-typed parallel edges are NOT interchangeable
+    edf2 = spark.createDataFrame(
+        [(1, 2, 0, "w"), (1, 2, 1, "x")],
+        "src long, dst long, key int, type string",
+    )
+    p2 = Pattern().add_edge("u", "v", "w").add_edge("u", "v", "x")
+    assert match(p2, edf2, break_symmetry=True).count() == 1
+    assert match(p2, edf2).count() == 1

@@ -201,14 +201,16 @@ def test_mining_driver_actions_linear_in_patterns(spark, tmp_path, monkeypatch):
     one unified aggregation — not O(#nodes·2 + #node-pairs +
     2·#children). Raw Spark-job counts are NOT a proxy (AQE splits one
     action into a job per shuffle stage), so count actions directly."""
-    from pyspark.sql import DataFrame
-
     p = tmp_path / "db.data"
     p.write_text(DB)
     v, e = read_data_db(spark, str(p))
 
+    # patch the RUNTIME class (Spark 4's classic DataFrame overrides
+    # collect/count — patching the pyspark.sql.DataFrame base is a
+    # no-op, which made this guard vacuous in round 2)
+    cls = type(v)
     actions = {"n": 0}
-    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    orig_collect, orig_count = cls.collect, cls.count
 
     def counting_collect(self):
         actions["n"] += 1
@@ -218,9 +220,10 @@ def test_mining_driver_actions_linear_in_patterns(spark, tmp_path, monkeypatch):
         actions["n"] += 1
         return orig_count(self)
 
-    monkeypatch.setattr(DataFrame, "collect", counting_collect)
-    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    monkeypatch.setattr(cls, "count", counting_count)
     mined = mine_frequent_patterns(v, e, min_support=1, max_edges=2)
+    assert actions["n"] > 0, "action counter never fired — vacuous guard"
     # actions: 1 (n_graphs count) + 1 (seed agg) + 1 per pattern that
     # reaches extension (4 seeds + every 1-edge pattern)
     n_extended = 4 + len([m for m in mined if len(m.pattern.edges) == 1])
@@ -228,6 +231,87 @@ def test_mining_driver_actions_linear_in_patterns(spark, tmp_path, monkeypatch):
     assert actions["n"] <= budget, (
         f"{actions['n']} driver actions > budget {budget} (storm regression)"
     )
+
+
+def test_self_loop_edge_extension(spark, tmp_path):
+    """Growth must reach patterns containing SELF-LOOP edges: the
+    reference draws edge-extension candidates from the induced
+    subgraph over mapped vertices (CMiner.py:285-296 via
+    Graph.py:607-623), which includes self-loops."""
+    db = ""
+    for g in range(3):
+        db += f"t # {g} g{g}\nv 0 a\nv 1 b\ne 0 0 s\ne 0 1 w\n"
+    p = tmp_path / "selfloop.data"
+    p.write_text(db)
+    v, e = read_data_db(spark, str(p))
+    mined = mine_frequent_patterns(v, e, min_support=3, max_edges=2, max_nodes=2)
+    selfloops = [
+        m for m in mined if any(pe.src == pe.dst for pe in m.pattern.edges)
+    ]
+    assert selfloops, "no self-loop pattern reached by growth"
+    one = [m for m in selfloops if len(m.pattern.edges) == 1]
+    assert one and one[0].support == 3 and one[0].frequency == 3
+    assert list(one[0].pattern.nodes.values())[0] == ["a"]
+    # growth also composes the self-loop with the outgoing edge
+    assert any(len(m.pattern.edges) == 2 for m in selfloops)
+    # and the matcher's self-loop branch binds the embeddings
+    from cminer_spark.operators.matching import match
+
+    emb = match(one[0].pattern, e, v, graph_col="graph_id")
+    assert emb.count() == 3
+
+
+def test_seed_collect_is_o_frequent_codes(spark, tmp_path, monkeypatch):
+    """The seed stage must collect O(frequent label-set codes) rows,
+    never the raw (codes × graphs) grain — on a 10^7-graph
+    transactional DB that grain is a driver-side collect bomb."""
+    blocks = []
+    for g in range(40):
+        blocks.append(f"t # {g} g{g}")
+        blocks.append("v 0 a")  # frequent in every graph
+        blocks.append(f"v 1 u{g}")  # unique per graph → infrequent
+    p = tmp_path / "many.data"
+    p.write_text("\n".join(blocks) + "\n")
+    v, e = read_data_db(spark, str(p))
+
+    # patch the RUNTIME class (Spark 4's classic DataFrame overrides
+    # collect — patching the pyspark.sql.DataFrame base is a no-op)
+    cls = type(v)
+    sizes: list[int] = []
+    orig_collect = cls.collect
+
+    def measuring_collect(self):
+        out = orig_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(cls, "collect", measuring_collect)
+    mined = mine_frequent_patterns(v, e, min_support=40, max_edges=0)
+    assert len(mined) == 1 and mined[0].support == 40
+    # 41 distinct label-set codes exist, 1 is frequent: the old
+    # (lcode, graph) grain collected 80 rows; the HAVING-filtered
+    # aggregate collects exactly the frequent codes
+    assert sizes and max(sizes) <= 4, f"seed collect too large: {sizes}"
+
+
+def test_streamed_emission_matches_batch(spark, tmp_path):
+    """on_pattern streams each qualifying pattern AS EMITTED (reference
+    CMiner.py:503-516 appends per pattern) and pattern_block_text
+    renders byte-identically to the batch sink — including the 0-edge
+    empty-block and empty-labels concat_ws quirks."""
+    from cminer_spark.operators.mining import pattern_block_text
+    from cminer_spark.sources import write_patterns_text
+
+    emitted = []
+    mined = _mine(
+        spark, tmp_path, min_support=2, max_edges=1,
+        with_graph_counts=True, on_pattern=emitted.append,
+    )
+    assert emitted and [m.code for m in emitted] == [m.code for m in mined]
+    df = patterns_to_df(spark, mined)
+    want = [r.value for r in write_patterns_text(df).collect()]
+    got = [pattern_block_text(mp, i) for i, mp in enumerate(mined)]
+    assert got == want
 
 
 def test_canonical_code_isomorphism_invariance():

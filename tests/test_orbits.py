@@ -114,3 +114,23 @@ def test_degree_filter_preserves_semantics(spark):
     on = {tuple(r) for r in match(p, e, degree_filter=True).collect()}
     off = {tuple(r) for r in match(p, e, degree_filter=False).collect()}
     assert on == off and len(on) > 0
+
+
+def test_parallel_edge_symmetry_groups():
+    from cminer_spark.operators.orbits import parallel_edge_symmetry_groups
+
+    p = (
+        Pattern()
+        .add_edge("u", "v", "w")
+        .add_edge("u", "v", "w")
+        .add_edge("u", "v", "x")
+    )
+    groups = parallel_edge_symmetry_groups(p)
+    assert len(groups) == 1 and groups[0].type == "w"
+    # attr-bearing duplicates group only with equal attrs
+    p2 = (
+        Pattern()
+        .add_edge("u", "v", "w", props={"k": "1"})
+        .add_edge("u", "v", "w", props={"k": "2"})
+    )
+    assert parallel_edge_symmetry_groups(p2) == []

@@ -116,6 +116,25 @@ def test_checkpoint_resume_equals_fresh(spark, tmp_ckpt):
     assert "l1_delta" in meta["metrics"]
 
 
+def test_resume_after_convergence_is_noop(spark, tmp_ckpt):
+    """Resuming a checkpoint whose last committed superstep already met
+    the convergence criterion must return THAT state without running an
+    extra superstep — otherwise the resumed ranks drift past what the
+    uninterrupted run returned (resume == fresh, exactly)."""
+    rng = random.Random(5)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    df = edges_df(spark, [p for p in pairs if p[0] != p[1]])
+    ck = SuperstepCheckpoint(spark, tmp_ckpt)
+    full, fi = pagerank(df, tol=1e-9, max_iter=60, checkpoint=ck)
+    assert fi.converged
+    again, ai = pagerank(df, tol=1e-9, max_iter=60, checkpoint=ck)
+    assert ai.resumed_from == fi.iterations
+    assert ai.iterations == fi.iterations and ai.converged
+    g1 = {r.v_id: r.rank for r in full.collect()}
+    g2 = {r.v_id: r.rank for r in again.collect()}
+    assert g1 == g2
+
+
 def test_pagerank_csr_path_matches_flat(spark):
     """use_csr=True (gather from CSR adjacency blocks) must produce
     ranks allclose to the flat pair-adjacency path, salted and not."""

@@ -187,6 +187,44 @@ def test_json_node_link(spark, tmp_path):
     assert (row.src, row.dst, row.type) == (0, 1, "white")
 
 
+def test_json_node_link_props_matchable(spark, tmp_path):
+    """JSON attrs ride into props (reference node-link load carries
+    every attr, NetworksLoading.py:173-178) and are queryable by the
+    F4 attribute-containment matcher."""
+    from cminer_spark.operators.matching import Pattern, match
+
+    doc = {
+        "directed": True,
+        "multigraph": True,
+        "nodes": [
+            {"id": 0, "labels": ["person"], "age": 30, "city": "x"},
+            {"id": 1, "labels": ["person"], "age": 41},
+            {"id": 2, "labels": ["person"], "age": 30},
+        ],
+        "links": [
+            {"source": 0, "target": 1, "type": "knows", "since": 2020},
+            {"source": 2, "target": 1, "type": "knows", "since": 1999},
+        ],
+    }
+    p = tmp_path / "gp.json"
+    p.write_text(json.dumps(doc))
+    v, e = read_json_graph(spark, str(p))
+    vrows = {r.v_id: r for r in v.collect()}
+    assert vrows[0].props["age"] == "30" and vrows[0].props["city"] == "x"
+    erows = sorted(e.collect(), key=lambda r: (r.src, r.dst))
+    assert erows[0].props["since"] == "2020"
+
+    pat = (
+        Pattern()
+        .add_node("a", ["person"], props={"age": "30"})
+        .add_node("b", ["person"])
+        .add_edge("a", "b", "knows", props={"since": "2020"})
+    )
+    emb = match(pat, e, v, graph_col="graph_id")
+    rows = emb.collect()
+    assert len(rows) == 1 and (rows[0].n_a, rows[0].n_b) == (0, 1)
+
+
 def test_data_roundtrip_through_sink(spark, tmp_path):
     """Write with the sink, re-read with the source (reference checker
     re-parses its own output the same way, test/parser.py:102-207)."""

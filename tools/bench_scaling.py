@@ -390,5 +390,7 @@ if __name__ == "__main__":
         extract_one(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--extract-campaign":
         extract_campaign()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--materialize":
+        materialize_input()
     else:
         orchestrate()
