@@ -143,6 +143,46 @@ def _q_match_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("n_a", "n_b", "n_t")
 
 
+def _q_match_ordered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 statistics-driven join ordering (reference Ordering.py:13-47
+    score shape via tiny type/label catalogs): must produce the exact
+    match_wedge embeddings — the order is pure performance."""
+    from cminer_spark.operators.matching import Pattern, match
+
+    p = (
+        Pattern()
+        .add_edge("a", "b", "replies_to")
+        .add_edge("a", "t", "invokes")
+    )
+    emb = match(p, gate.gate_edges_df(spark, sf_dir), order_stats=True)
+    return emb.select("n_a", "n_b", "n_t")
+
+
+def _q_match_parallel_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 edge-key symmetry breaking (reference
+    BreakingConditions.py:98-119): two interchangeable parallel query
+    edges keep exactly one (ascending-key) representative per
+    embedding."""
+    from cminer_spark.operators.matching import Pattern, match
+
+    e = gate.gate_edges_df(spark, sf_dir)
+    pe = e.select("src", "dst", "type", F.lit(0).alias("key")).unionByName(
+        e.select("src", "dst", "type", F.lit(1).alias("key"))
+    )
+    p = (
+        Pattern()
+        .add_edge("u", "v", "replies_to")
+        .add_edge("u", "v", "replies_to")
+    )
+    emb = match(p, pe, include_edges=True, break_symmetry=True)
+    return emb.select(
+        "n_u",
+        "n_v",
+        F.col("e_0.key").alias("k0"),
+        F.col("e_1.key").alias("k1"),
+    )
+
+
 def _q_match_path3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-node reply chain pattern via the matcher."""
     from cminer_spark.operators.matching import Pattern, match
@@ -347,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_wedge": _q_match_wedge,
         "match_path3": _q_match_path3,
         "match_props": _q_match_props,
+        "match_ordered_stats": _q_match_ordered_stats,
+        "match_parallel_sym": _q_match_parallel_sym,
         "k_hop2": _q_k_hop,
         "induced_subgraph": _q_induced_subgraph,
         "mine_edge_patterns": _q_mine_edge_patterns,
@@ -371,6 +413,8 @@ def oracle_sql() -> dict[str, str]:
         "match_wedge": gate.match_wedge_oracle_sql(),
         "match_path3": gate.match_path3_oracle_sql(),
         "match_props": gate.match_props_oracle_sql(),
+        "match_ordered_stats": gate.match_wedge_oracle_sql(),
+        "match_parallel_sym": gate.match_parallel_sym_oracle_sql(),
         "k_hop2": gate.k_hop_oracle_sql(),
         "induced_subgraph": gate.induced_subgraph_oracle_sql(),
         "mine_edge_patterns": gate.mine_edge_patterns_oracle_sql(),

@@ -99,12 +99,29 @@ def main() -> None:
     t = synth_transcripts(spark, n_convs=n_convs, seed=42).persist()
     t.count()  # materialize so edge_extract times the kernel, not synthesis
 
-    def run_extract():
+    # warm-up + best-of-3 timed passes: a single pass of this ~1-2s
+    # kernel is steal-spike-prone (1.1s and 30.5s observed back to back
+    # on identical input — BENCH/BASELINE.md round-3 A/B), which is
+    # exactly what produced the spurious 15.0s in BENCH_r02.json. The
+    # best pass is the interference-free estimate, the same protocol as
+    # the scaling campaign's min-steady superstep.
+    extract_edges(t.limit(20000)).count()
+    ex_passes: list[float] = []
+    synth_edges = None
+    n_synth_edges = 0
+    for _ in range(3):
+        t0 = time.time()
         e = extract_edges(t).persist()
-        n = e.count()
-        return e, n
-
-    synth_edges, n_synth_edges = timed("edge_extract_synth", run_extract)
+        n_synth_edges = e.count()
+        ex_passes.append(round(time.time() - t0, 3))
+        if synth_edges is None or ex_passes[-1] == min(ex_passes):
+            if synth_edges is not None:
+                synth_edges.unpersist()
+            synth_edges = e
+        else:
+            e.unpersist()
+    queries["edge_extract_synth"] = min(ex_passes)
+    extras["edge_extract_synth_pass_secs"] = ex_passes
     extras["synth_edges"] = n_synth_edges
     extras["edge_extract_synth_edges_per_sec"] = round(
         n_synth_edges / queries["edge_extract_synth"], 1

@@ -292,6 +292,22 @@ WHERE e.type = 'replies_to' AND e.src <> e.dst
     )
 
 
+def match_parallel_sym_oracle_sql() -> str:
+    """G4 edge-key symmetry breaking: the Spark side duplicates every
+    edge with keys {0, 1} and matches TWO interchangeable parallel
+    ``replies_to`` query edges with ``break_symmetry=True`` — exactly
+    one representative per embedding survives, with ascending keys.
+    replies_to (src, dst) pairs are unique in the gate graph, so the
+    oracle is one row per edge with the forced (0, 1) assignment."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """
+SELECT e.src AS n_u, e.dst AS n_v, 0 AS k0, 1 AS k1
+FROM edges e
+WHERE e.type = 'replies_to' AND e.src <> e.dst"""
+    )
+
+
 def jaccard_oracle_sql() -> str:
     return _materialize(
         f"WITH {EDGES_CTE}"
