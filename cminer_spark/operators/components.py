@@ -100,6 +100,10 @@ def connected_components(
     if checkpoint is not None:
         resume = checkpoint.latest()
         if resume is not None:
+            # resuming AT the fixpoint costs one redundant round whose
+            # star-contraction is idempotent — the labeling is exactly
+            # the uninterrupted run's (no PageRank-style drift, so no
+            # saved-metric convergence check is needed here)
             start_round, e, _meta = resume
             info.resumed_from = start_round
     e = truncate_lineage(e)

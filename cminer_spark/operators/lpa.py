@@ -68,6 +68,10 @@ def label_propagation(
     if checkpoint is not None:
         resume = checkpoint.latest()
         if resume is not None:
+            # resuming AT the fixpoint costs one redundant round whose
+            # deterministic-tie update is idempotent (changed == 0) —
+            # identical labels to the uninterrupted run, so unlike
+            # PageRank no saved-metric convergence check is needed
             start_round, labels, _ = resume
             info.resumed_from = start_round
     labels = truncate_lineage(labels)
