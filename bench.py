@@ -132,7 +132,16 @@ def main() -> None:
         return info
 
     info2 = timed("pagerank8_synth", run_pagerank_synth)
+    # Headline estimator: edges / MIN superstep — the scaling
+    # campaign's interference-free estimator (hypervisor steal hits
+    # individual supersteps 2-30x on this VM; BENCH/BASELINE.md). The
+    # wall-clock-derived figure (r1/r2's estimator) is kept alongside
+    # for cross-round comparability, with the per-superstep raws.
+    extras["pagerank8_synth_superstep_secs"] = info2.superstep_secs
     extras["pagerank8_synth_edges_per_sec_per_superstep"] = round(
+        n_synth_edges / min(info2.superstep_secs), 1
+    )
+    extras["pagerank8_synth_edges_per_sec_per_superstep_wallclock"] = round(
         n_synth_edges * info2.iterations / queries["pagerank8_synth"], 1
     )
 
