@@ -104,23 +104,23 @@ def main() -> None:
     # on identical input — BENCH/BASELINE.md round-3 A/B), which is
     # exactly what produced the spurious 15.0s in BENCH_r02.json. The
     # best pass is the interference-free estimate, the same protocol as
-    # the scaling campaign's min-steady superstep.
+    # the scaling campaign's min-steady superstep. Each pass UNPERSISTS
+    # before the next — keeping a persisted twin alive would let
+    # Spark's CacheManager serve passes 2-3 from the plan cache
+    # (identical canonicalized plans), timing a cache scan instead of
+    # the kernel.
     extract_edges(t.limit(20000)).count()
     ex_passes: list[float] = []
-    synth_edges = None
     n_synth_edges = 0
     for _ in range(3):
         t0 = time.time()
         e = extract_edges(t).persist()
         n_synth_edges = e.count()
         ex_passes.append(round(time.time() - t0, 3))
-        if synth_edges is None or ex_passes[-1] == min(ex_passes):
-            if synth_edges is not None:
-                synth_edges.unpersist()
-            synth_edges = e
-        else:
-            e.unpersist()
+        e.unpersist()
     queries["edge_extract_synth"] = min(ex_passes)
+    synth_edges = extract_edges(t).persist()
+    synth_edges.count()
     extras["edge_extract_synth_pass_secs"] = ex_passes
     extras["synth_edges"] = n_synth_edges
     extras["edge_extract_synth_edges_per_sec"] = round(

@@ -77,9 +77,11 @@ def _main_mine(argv: list[str]) -> int:
         with open(args.patterns_path) as f:
             start = parse_pattern_text(f.read())
     support = args.support if args.support < 1 else int(args.support)
+    if args.stream_output and not args.output_path:
+        ap.error("--stream_output requires -o/--output_path")
     stream_f = None
     on_pattern = None
-    if args.output_path and args.stream_output:
+    if args.stream_output:
         from itertools import count
 
         from cminer_spark.operators.mining import pattern_block_text
@@ -91,22 +93,24 @@ def _main_mine(argv: list[str]) -> int:
             stream_f.write(pattern_block_text(mp, next(_ids)) + "\n")
             stream_f.flush()
 
-    mined = mine_frequent_patterns(
-        v,
-        e,
-        min_support=support,
-        max_edges=args.max_edges
-        if args.max_edges is not None
-        else args.max_nodes * (args.max_nodes - 1),
-        min_nodes=args.min_nodes,
-        max_nodes=args.max_nodes,
-        start_patterns=start,
-        with_graph_counts=True,
-        keep_embeddings=bool(args.show_mappings),
-        on_pattern=on_pattern,
-    )
-    if stream_f is not None:
-        stream_f.close()
+    try:
+        mined = mine_frequent_patterns(
+            v,
+            e,
+            min_support=support,
+            max_edges=args.max_edges
+            if args.max_edges is not None
+            else args.max_nodes * (args.max_nodes - 1),
+            min_nodes=args.min_nodes,
+            max_nodes=args.max_nodes,
+            start_patterns=start,
+            with_graph_counts=True,
+            keep_embeddings=bool(args.show_mappings),
+            on_pattern=on_pattern,
+        )
+    finally:
+        if stream_f is not None:
+            stream_f.close()
     df = patterns_to_df(spark, mined)
     if args.output_path:
         if not args.stream_output:  # stream mode already wrote the file

@@ -58,8 +58,13 @@ def hub_vertices(edges: DataFrame, quantile: float = 0.99, factor: float = 4.0) 
     """Detect hot vertices: in-degree > factor × p_quantile(in-degree).
 
     Returned frame ``(v_id, in_deg)`` is expected to be tiny (hub
-    tools / celebrity vertices) and safe to broadcast into salting
-    decisions.
+    tools / celebrity vertices) and safe to broadcast.
+
+    This is a standalone skew DIAGNOSTIC (relative skew: who stands
+    out). ``pagerank``'s auto-salting deliberately probes an ABSOLUTE
+    per-reducer bound instead — a graph with several equally-hot
+    destinations has no relative hubs (max ≤ factor × p99) but still
+    needs salting — so the two probes answer different questions.
     """
     in_d = edges.groupBy(F.col("dst").alias("v_id")).agg(
         F.count(F.lit(1)).alias("in_deg")

@@ -214,11 +214,15 @@ def edge_domain_estimates(
         }
     out: dict[int, float] = {}
     for i, e in enumerate(pattern.edges):
-        dom = float(
-            type_counts.get(e.type, total_edges)
-            if e.type == WILDCARD or e.type in type_counts
-            else 0.0
-        )
+        # WILDCARD matches EVERY edge, so its domain is total_edges even
+        # when ""-typed edges also exist in the data (JSON loads encode
+        # untyped edges as "") — looking "" up in type_counts would
+        # drastically underestimate the wildcard's domain and order the
+        # unselective edge first.
+        if e.type == WILDCARD:
+            dom = float(total_edges)
+        else:
+            dom = float(type_counts.get(e.type, 0.0))
         for node in (e.src, e.dst):
             for lbl in pattern.nodes.get(node) or []:
                 dom *= label_frac.get(lbl, 0.0) if label_frac else 1.0

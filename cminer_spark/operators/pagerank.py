@@ -155,21 +155,27 @@ def pagerank(
         verts.unpersist()
         return spark.createDataFrame([], "v_id long, rank double"), info
 
-    # Salting decision via the hub probe (graph.hub_vertices): salt
-    # when some destination is BOTH a relative hub (in-degree > 4× the
-    # p99 in-degree) AND hot in absolute terms — its in-degree dwarfs
-    # the average per-shuffle-partition share (partial map-side
+    # Salting decision: a destination is "hot" when its in-degree
+    # dwarfs the average per-shuffle-partition share (partial map-side
     # aggregation already bounds per-mapper load; salting bounds the
-    # reducer key).
+    # reducer key). The ABSOLUTE bar is deliberate — a graph with
+    # several equally-hot destinations has no RELATIVE hubs (max ≤
+    # 4×p99) yet still needs its reducer keys bounded, so the
+    # quantile-based graph.hub_vertices probe stays a standalone
+    # diagnostic rather than the gate here. In CSR mode the in-degrees
+    # come from exploding the persisted blocks, not from recomputing
+    # the normalization shuffle.
     if salt_partitions is None:
-        from cminer_spark.operators.graph import hub_vertices
-
         hot_bar = max(10 * info.n_edges // max(shuffle_parts, 1), 1000)
-        in_deg_src = norm if use_csr else adj
-        max_hub = (
-            hub_vertices(in_deg_src).agg(F.max("in_deg")).collect()[0][0]
+        in_deg_src = (
+            adj.select(F.explode(F.col("adj.dst")).alias("dst"))
+            if use_csr
+            else adj
         )
-        salt_partitions = 16 if (max_hub or 0) > hot_bar else 1
+        max_in = (
+            in_deg_src.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+        )
+        salt_partitions = 16 if (max_in or 0) > hot_bar else 1
     info.salted = salt_partitions > 1
     if info.salted:
         adj_salted = adj.withColumn(

@@ -87,26 +87,30 @@ class _HadoopIO:
         # posix-rename analog (atomic replace, throws on failure), so
         # overwriting an existing marker (update_metrics) has NO
         # delete→rename window in which a crash would silently
-        # un-commit an already-committed iteration.
+        # un-commit an already-committed iteration. Only the FileContext
+        # LOOKUP falls back (schemes without an AbstractFileSystem
+        # binding, e.g. bare s3a); a rename error from a real
+        # FileContext propagates — treating it as fallback-eligible
+        # would let the delete-then-retry below destroy a previously
+        # COMMITTED marker on quota/permission failures.
         try:
             fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
                 dst.toUri(), self._conf
             )
+        except Exception:
+            fc = None
+        if fc is not None:
             opts = self._gateway.new_array(
                 self._jvm.org.apache.hadoop.fs.Options.Rename, 1
             )
             opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
             fc.rename(tmp, dst, opts)
             return
-        except Exception:
-            # schemes without an AbstractFileSystem binding (e.g. bare
-            # s3a) have no FileContext — fall back to FileSystem.rename,
-            # which reports failure by RETURNING FALSE, not throwing.
-            pass
+        # FileSystem.rename reports failure by RETURNING FALSE, not
+        # throwing. Replace dst only when the false return is actually
+        # the refuse-to-clobber case (tmp still present, dst present).
         if not self.fs.rename(tmp, dst):
-            # likely dst exists (HDFS/local rename refuses to clobber):
-            # replace it, accepting the (fallback-only) delete window
-            if not self.fs.exists(dst):
+            if not self.fs.exists(tmp) or not self.fs.exists(dst):
                 raise IOError(f"checkpoint marker rename failed: {path}")
             self.fs.delete(dst, False)
             if not self.fs.rename(tmp, dst):

@@ -400,3 +400,17 @@ def test_parallel_edge_symmetry_breaking(spark):
     p2 = Pattern().add_edge("u", "v", "w").add_edge("u", "v", "x")
     assert match(p2, edf2, break_symmetry=True).count() == 1
     assert match(p2, edf2).count() == 1
+
+
+def test_edge_domain_estimates_wildcard_vs_empty_type(spark):
+    """WILDCARD ('') matches every edge, so its domain estimate must be
+    total_edges even when ''-TYPED edges exist in the data (JSON loads
+    encode untyped edges as '') — not the count of ''-typed rows."""
+    from cminer_spark.operators.matching import edge_domain_estimates
+
+    rows = [(i, i + 100, 0, "") for i in range(5)]
+    rows += [(i, i + 200, 0, "x") for i in range(50)]
+    edf = spark.createDataFrame(rows, "src long, dst long, key int, type string")
+    p = Pattern().add_edge("a", "b", "").add_edge("b", "c", "x")
+    dom = edge_domain_estimates(p, edf)
+    assert dom[0] == 55.0 and dom[1] == 50.0
