@@ -30,6 +30,8 @@ ANN_K = 10
 ANN_DIM = 64
 ANN_LSH_PLANES = 4
 ANN_LSH_TABLES = 4
+ANN_IVF_CENTROIDS = 8
+ANN_IVF_PROBE = 3
 # sf0.01 synth embeddings carry no true near-duplicates (max pairwise
 # cosine ≈ 0.51), so the gate thresholds at the top of the observed
 # similarity range — it checks the bucket→score→filter pipeline, not
@@ -95,6 +97,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=ANN_DIM,
         n_planes=ANN_LSH_PLANES,
         n_tables=ANN_LSH_TABLES,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF ANN path (coarse-quantize → cluster equi-join probe →
+    exact re-rank) under the oracle gate, using the UNTRAINED
+    md5-derived centroids so DuckDB can replicate them as literal
+    constants (this checks the quantize/probe/re-rank pipeline; the
+    TRAINED k-means quality is pytest-checked — recall + the
+    n_probe == n_centroids exactness property)."""
+    from cminer_spark.pipeline.similarity import ivf_topk, pseudo_random_centroids
+
+    out = ivf_topk(
+        _embs(spark, sf_dir),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        centroids=pseudo_random_centroids(ANN_DIM, ANN_IVF_CENTROIDS),
+        n_probe=ANN_IVF_PROBE,
     )
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
@@ -398,6 +421,82 @@ WHERE rank <= {ANN_K}
 """
 
 
+def ann_ivf_oracle_sql() -> str:
+    """DuckDB replica of :func:`ivf_topk` with the untrained
+    md5-derived centroids inlined as literal rows. Assignment = the
+    cluster with the max ROUNDED (6 dp) dot, ties to the LARGER
+    cluster id (matching ``ivf_assign``'s ``array_max`` over
+    ``struct(d, c)``); probes = the ``ANN_IVF_PROBE`` best clusters
+    per query under the same ordering; candidates = cluster equi-join;
+    re-rank identical to the brute-force oracle."""
+    from cminer_spark.pipeline.similarity import pseudo_random_centroids
+
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cent_rows = []
+    for c, vec in enumerate(pseudo_random_centroids(ANN_DIM, ANN_IVF_CENTROIDS)):
+        for d, val in enumerate(vec):
+            cent_rows.append(f"({c}, {d + 1}, {val!r})")
+    cent_values = ",\n".join(cent_rows)
+    return f"""
+WITH exp AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT * FROM (VALUES
+{cent_values}
+  ) ct(c, i, val)
+),
+cdot AS MATERIALIZED (
+  SELECT e.vec_id, ct.c, round(sum(e.x * ct.val), 6) AS d
+  FROM exp e JOIN cent ct ON e.i = ct.i
+  GROUP BY e.vec_id, ct.c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, c AS cl FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c DESC) AS rn
+    FROM cdot
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c AS cl FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c DESC) AS rn
+    FROM cdot WHERE vec_id IN ({ids})
+  ) t WHERE rn <= {ANN_IVF_PROBE}
+),
+cand AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON p.cl = a.cl
+  WHERE a.vec_id <> p.query_id
+),
+norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+dots AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, sum(q.x * b.x) AS dot
+  FROM cand c
+  JOIN exp q ON q.vec_id = c.query_id
+  JOIN exp b ON b.vec_id = c.vec_id AND b.i = q.i
+  GROUP BY c.query_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.vec_id
+)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {ANN_K}
+"""
+
+
 def neardup_oracle_sql() -> str:
     """DuckDB replica of :func:`cosine_near_duplicates`: single-table
     (t=0) sign-LSH buckets from the same inlined md5-derived
@@ -534,6 +633,7 @@ def queries():
         "simhash48": q_simhash,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -552,6 +652,7 @@ def oracles():
         "simhash48": simhash_oracle_sql(),
         "ann_cosine_topk": ann_topk_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
+        "ann_ivf_topk": ann_ivf_oracle_sql(),
         "cosine_near_dups": neardup_oracle_sql(),
         "media_features": MEDIA_FEATURES_SQL,
         "frame_sample": FRAME_SAMPLE_SQL,

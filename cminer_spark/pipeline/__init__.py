@@ -8,7 +8,10 @@ from cminer_spark.pipeline.dedup import (
 from cminer_spark.pipeline.similarity import (
     brute_force_cosine_topk,
     cosine_near_duplicates,
+    ivf_topk,
+    ivf_train_centroids,
     lsh_bucketed_topk,
+    pseudo_random_centroids,
 )
 from cminer_spark.pipeline.textstats import (
     doc_fingerprint,
@@ -25,7 +28,10 @@ __all__ = [
     "simhash",
     "brute_force_cosine_topk",
     "cosine_near_duplicates",
+    "ivf_topk",
+    "ivf_train_centroids",
     "lsh_bucketed_topk",
+    "pseudo_random_centroids",
     "doc_fingerprint",
     "language_id",
     "quality_stats",

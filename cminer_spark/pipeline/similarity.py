@@ -169,6 +169,193 @@ def lsh_bucketed_topk(
     )
 
 
+def pseudo_random_centroids(dim: int, n_centroids: int) -> list[list[float]]:
+    """Deterministic md5-derived coarse-quantizer centroids (an
+    UNTRAINED random-projection quantizer — valid IVF partitioner, and
+    replicable as literal constants in the DuckDB oracle gate). For
+    data-adapted centroids use :func:`ivf_train_centroids`."""
+    return [_hyperplane(dim, c, table_idx=997) for c in range(n_centroids)]
+
+
+def ivf_assign(vec_col, centroids: list[list[float]]) -> F.Column:
+    """IVF cluster id of an embedding: argmax over centroids of the
+    dot product ROUNDED to 6 decimals (cross-engine-stable, same
+    rationale as :func:`lsh_bucket`'s sign test), ties to the LARGER
+    cluster id (``array_max`` over ``struct(d, c)``)."""
+    v = _as_double(vec_col)
+    structs = [
+        F.struct(
+            F.round(_dot(v, F.array(*[F.lit(float(x)) for x in c])), 6).alias(
+                "d"
+            ),
+            F.lit(i).alias("c"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*structs))["c"]
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd) centroids.
+
+    * init: the ``n_centroids`` vectors with the smallest
+      ``xxhash64(id)`` — a deterministic pseudo-random sample, no RNG
+      state, reproducible at any partitioning;
+    * assignment: argmax cosine (vectors L2-normalized once);
+    * update: per-cluster mean, re-normalized; empty clusters keep
+      their previous centroid.
+
+    Scale shape: each Lloyd iteration is ONE aggregation job
+    (``posexplode`` → ``groupBy(cluster, dim)``); the state crossing
+    the driver is ``n_centroids × dim`` floats per iteration.
+    ``sample_mod=m`` trains on the deterministic 1/m subsample
+    ``pmod(xxhash64(id), m) == 0`` — at 10^12 rows Lloyd never needs
+    the full table.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if sample_mod:
+        base = base.where(F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0)
+    base = (
+        base.withColumn("vn", _norm(F.col("v")))
+        .where(F.col("vn") > 0)
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("vn")).alias("nv"),
+        )
+        .persist()
+    )
+    seed_rows = (
+        base.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["nv"]] for r in seed_rows]
+    if not centroids:
+        base.unpersist()
+        return []
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        rows = (
+            base.withColumn("c", ivf_assign(F.col("nv"), centroids))
+            .select("c", F.posexplode("nv").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(int(r["c"]), [0.0] * dim)[int(r["d"])] = float(r["s"])
+            counts[int(r["c"])] = int(r["n"])
+        new = []
+        for i, old in enumerate(centroids):
+            if i not in sums:
+                new.append(old)  # empty cluster keeps its centroid
+                continue
+            mean = [x / counts[i] for x in sums[i]]
+            nrm = sum(x * x for x in mean) ** 0.5
+            new.append([x / nrm for x in mean] if nrm > 0 else old)
+        centroids = new
+    base.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize every vector to one
+    cluster (:func:`ivf_assign`), probe each query's ``n_probe`` best
+    clusters, exact cosine re-rank among the candidates. Same output
+    schema as the brute-force baseline.
+
+    Scale shape: candidates come from a CLUSTER EQUI-JOIN against the
+    tiny broadcast (query × probe) list — never a cross join; at
+    100 TB the base side is stored bucketed/partition-pruned by
+    cluster id, so a probe touches ``n_probe / n_centroids`` of the
+    data. ``n_probe == n_centroids`` degrades to exact brute force
+    (tested). ``centroids=None`` trains deterministic spherical
+    k-means; pass :func:`pseudo_random_centroids` for the untrained
+    oracle-replicable quantizer.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids, n_iters, id_col, vec_col
+        )
+    n_probe = min(n_probe, len(centroids))
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("vn", _norm(F.col("v")))
+        .withColumn("cl", ivf_assign(F.col("v"), centroids))
+    )
+    # per-query probe list: the n_probe clusters with the largest
+    # (rounded) centroid dot — desc by (d, c), the reverse of
+    # array_sort's asc (d, c) order, mirroring ivf_assign's tie rule
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c])), 6
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    queries = (
+        base.where(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(probe_structs)), 1, n_probe),
+                    lambda s: s["c"],
+                )
+            ).alias("cl"),
+        )
+    )
+    # each base vector lives in exactly ONE cluster and probe clusters
+    # are distinct, so (query_id, vec_id) pairs are already unique
+    cands = base.join(F.broadcast(queries), "cl").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

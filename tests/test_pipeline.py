@@ -85,6 +85,65 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert all(r.cosine <= 1.000001 for r in approx.collect())
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """n_probe == n_centroids means every cluster is probed, so IVF
+    must reproduce the exact brute-force top-k (same rounding, same
+    tie-breaks) — the correctness anchor for the quantize/probe/re-rank
+    pipeline."""
+    from cminer_spark.pipeline import ivf_topk, pseudo_random_centroids
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = brute_force_cosine_topk(embs, qids, k=5)
+    full = ivf_topk(
+        embs, qids, k=5,
+        centroids=pseudo_random_centroids(64, 8), n_probe=8,
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine) for r in df.collect()
+    )
+    assert key(full) == key(exact)
+
+
+def test_ivf_trained_recall_on_planted_neighbors(spark):
+    """Trained spherical k-means + partial probe must route planted
+    near-neighbors (scaled copies — cosine 1 with their query, and
+    scaling preserves the argmax cluster assignment) through the
+    cluster equi-join. The raw synth embeddings are near-random (max
+    pairwise cosine ~0.5), so unplanted neighbors legitimately straddle
+    clusters — recall is measured on a fixture with known structure,
+    like the dedup tests. Also checks the trainer is deterministic."""
+    from cminer_spark.pipeline import ivf_topk, ivf_train_centroids
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2]
+    parts = [embs]
+    for j in range(1, 5):
+        parts.append(
+            embs.where(F.col("vec_id").isin(qids)).select(
+                (F.col("vec_id") + 100_000 * j).alias("vec_id"),
+                F.transform("embedding", lambda x: x * (1.0 - 0.01 * j))
+                .cast("array<float>")
+                .alias("embedding"),
+                "label",
+            )
+        )
+    data = parts[0]
+    for p in parts[1:]:
+        data = data.union(p)
+    data = data.persist()
+    cents = ivf_train_centroids(data, n_centroids=8, n_iters=4)
+    cents2 = ivf_train_centroids(data, n_centroids=8, n_iters=4)
+    assert cents == cents2  # deterministic: no RNG state anywhere
+    exact = brute_force_cosine_topk(data, qids, k=5)
+    approx = ivf_topk(data, qids, k=5, centroids=cents, n_probe=3)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    data.unpersist()
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
 def test_cosine_near_duplicates_self_consistency(spark):
     embs = spark.read.parquet(f"{SF}/embeddings.parquet")
     # duplicate vec 0 under a new id → must be flagged at ~1.0
