@@ -349,3 +349,95 @@ def test_mine_cli(spark, tmp_path, capsys):
     # (regression: it stopped the shared fixture session and every
     # later spark-using test failed on a stopped SparkContext)
     assert spark.range(1).count() == 1
+
+
+def test_miner_complete_vs_enumeration_oracle(spark):
+    """Completeness + correctness on a random tiny DB: enumerate EVERY
+    connected pattern over the data's label/type alphabet (≤2 nodes,
+    ≤2 edges — including self-loops and parallel edges), score each
+    with the independently brute-force-verified matcher, and require
+    the miner's output to be exactly the frequent subset with equal
+    support AND frequency (the reference's brute-force test strategy,
+    test/brute_force/main.py, generalized from one planted pattern to
+    the whole pattern space)."""
+    import random
+    from itertools import combinations_with_replacement, product
+
+    from cminer_spark.operators.matching import Pattern, match
+
+    rng = random.Random(20260817)
+    labels_alpha, types_alpha = ["a", "b"], ["x"]
+    vrows, erows = [], []
+    for g in range(4):
+        gid = f"g{g}"
+        n = rng.randint(3, 5)
+        for i in range(n):
+            vrows.append((gid, i, [rng.choice(labels_alpha)]))
+        seen = {}
+        for _ in range(rng.randint(4, 7)):
+            s = rng.randrange(n)
+            d = rng.randrange(n) if rng.random() > 0.25 else s  # self-loops
+            k = seen.get((s, d), 0)
+            seen[(s, d)] = k + 1
+            erows.append((gid, s, d, k, "x"))
+    v = spark.createDataFrame(
+        vrows, "graph_id string, v_id long, labels array<string>"
+    )
+    e = spark.createDataFrame(
+        erows, "graph_id string, src long, dst long, key int, type string"
+    )
+
+    def connected(p: Pattern) -> bool:
+        nodes = list(p.nodes)
+        if len(nodes) <= 1:
+            return True
+        parent = {x: x for x in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pe in p.edges:
+            parent[find(pe.src)] = find(pe.dst)
+        return len({find(x) for x in nodes}) == 1
+
+    enumerated: dict[str, Pattern] = {}
+    for n in (1, 2):
+        ids = [f"q{i}" for i in range(n)]
+        all_edges = [
+            (i, j, t) for i in range(n) for j in range(n) for t in types_alpha
+        ]
+        for labeling in product(labels_alpha, repeat=n):
+            for m in (0, 1, 2):
+                for combo in combinations_with_replacement(all_edges, m):
+                    p = Pattern()
+                    for i, l in enumerate(labeling):
+                        p.add_node(ids[i], [l])
+                    for (i, j, t) in combo:
+                        p.add_edge(ids[i], ids[j], t)
+                    if connected(p):
+                        enumerated.setdefault(canonical_code(p), p)
+
+    min_sup = 2
+    want: dict[str, tuple[int, int]] = {}
+    for code, p in enumerated.items():
+        emb = match(p, e, v, graph_col="graph_id", include_edges=bool(p.edges))
+        rows = emb.groupBy("graph_id").count().collect()
+        sup = len(rows)
+        if sup >= min_sup:
+            want[code] = (sup, int(sum(r["count"] for r in rows)))
+
+    mined = mine_frequent_patterns(
+        v, e, min_support=min_sup, max_edges=2, max_nodes=2
+    )
+    got = {m.code: (m.support, m.frequency) for m in mined}
+    assert got == want, (
+        f"mined {len(got)} vs oracle {len(want)}; "
+        f"missing={set(want) - set(got)}; extra={set(got) - set(want)}"
+    )
+    # the space genuinely exercises the new growth branches
+    assert any(
+        pe.src == pe.dst for m in mined for pe in m.pattern.edges
+    ), "fixture produced no frequent self-loop pattern"
