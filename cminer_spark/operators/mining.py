@@ -92,34 +92,13 @@ def _fresh_node_id(pattern: Pattern) -> str:
 _EDGES_ARR_T = "array<struct<src:long,dst:long,key:int>>"
 
 
-def _extension_candidates(
-    pattern: Pattern,
-    emb: DataFrame,
-    v: DataFrame,
-    e: DataFrame,
-    max_nodes: int,
-    pid: int,
-) -> list[DataFrame]:
-    """The candidate branches for one pattern: every node extension
-    (J6) and cycle-closing edge extension (J7), tagged by
-    (_pid, _kind, _qi, _qj, _dir), where ``_qi``/``_qj`` are POSITIONS
-    in the pattern's node order. Bindings are PACKED into array
-    columns (``_emb``/``_edges``) so branches of DIFFERENT patterns
-    share one schema and the whole level unions into a single frame.
-
-    Instead of one join per (node × direction) — O(k) branches whose
-    Catalyst analysis dominated wall-clock at ~100 branches/level —
-    the bound nodes are ``posexplode``d and joined against the edge
-    table ONCE per direction; the attach point (``_qi``), extension
-    kind (new node vs cycle-close) and cycle partner (``_qj``) are
-    classified by ``array_position`` against the packed embedding.
-    Three branches per pattern, total, and one scan of the embeddings
-    per branch instead of one per (node × direction)."""
+def _packed_embeddings(pattern: Pattern, emb: DataFrame, pid: int) -> DataFrame:
+    """One pattern's embeddings in the level-wide PACKED schema
+    ``(_g, _pid, _emb array, _edges array)`` — bindings as arrays so
+    every frontier pattern's frame is union-compatible."""
     node_ids = list(pattern.nodes)
     edge_cols = [c for c in emb.columns if c.startswith("e_")]
-    can_add_node = len(node_ids) < max_nodes
-
-    packed = emb.select(
+    return emb.select(
         "_g",
         F.lit(pid).alias("_pid"),
         F.array(*[F.col(f"n_{n}") for n in node_ids]).alias("_emb"),
@@ -128,7 +107,33 @@ def _extension_candidates(
             if edge_cols
             else F.array().cast(_EDGES_ARR_T)
         ).alias("_edges"),
-    ).select("*", F.posexplode("_emb").alias("_qi", "_nval"))
+    )
+
+
+def _level_branches(
+    packed: DataFrame,
+    v: DataFrame,
+    e: DataFrame,
+    node_ok_pids: list[int],
+) -> list[DataFrame]:
+    """The candidate branches for a WHOLE level: every node extension
+    (J6) and edge extension (J7, incl. self-loops), tagged by
+    (_pid, _kind, _qi, _qj, _dir), where ``_qi``/``_qj`` are POSITIONS
+    in the owning pattern's node order.
+
+    ``packed`` is the UNION of every frontier pattern's embeddings in
+    the packed schema, so the level needs THREE joins TOTAL — one per
+    (edge direction × extension family) — independent of frontier
+    size: the bound nodes are ``posexplode``d and joined against the
+    edge table once per branch; the attach point (``_qi``), extension
+    kind (new node vs cycle-close vs self-loop) and cycle partner
+    (``_qj``) are classified by ``array_position`` against the packed
+    embedding. (Round-2 shipped 3 join branches PER PATTERN; at B
+    patterns/level that was 3B Catalyst-analyzed joins and 3B edge
+    scans per level — the union-first shape makes both O(1) per
+    level.) ``node_ok_pids``: patterns still allowed to add a node
+    (|V| < max_nodes) — enforced as a data filter on ``_pid``."""
+    packed = packed.select("*", F.posexplode("_emb").alias("_qi", "_nval"))
 
     ev = e.withColumnRenamed("_g", "_ge")
     new_edge = F.struct("src", "dst", "key")
@@ -170,9 +175,11 @@ def _extension_candidates(
             "edge", None, F.col("_po") - 1, None, None,
         )
     ]
-    if can_add_node:
-        out_node = out.where(F.col("_po") == 0).join(
-            vv, (F.col("_g") == F.col("_gv")) & (F.col("dst") == F.col("_vid"))
+    if node_ok_pids:
+        node_ok = F.col("_pid").isin(node_ok_pids)
+        out_node = (
+            out.where(node_ok & (F.col("_po") == 0))
+            .join(vv, (F.col("_g") == F.col("_gv")) & (F.col("dst") == F.col("_vid")))
         )
         branches.append(
             shape(out_node, "node", "out", None, F.col("dst"), F.col("_vlcode"))
@@ -180,7 +187,8 @@ def _extension_candidates(
         # incoming edges whose src is unbound: node extension in the
         # 'in' direction (bound-src cases are covered by the out join)
         in_node = (
-            packed.join(
+            packed.where(node_ok)
+            .join(
                 ev,
                 (F.col("_g") == F.col("_ge")) & (F.col("_nval") == F.col("dst")),
             )
@@ -335,31 +343,41 @@ def mine_frequent_patterns(
     while frontier:
         next_frontier: list[tuple[Pattern, DataFrame, int]] = []
 
-        # --- level-synchronous candidate frame: branches of EVERY
-        # frontier pattern share one packed schema (_emb/_edges arrays)
-        # and union into ONE frame — Spark jobs per LEVEL are O(1),
-        # not O(#patterns) (round-1 job storm, stage 2 of the fix)
+        # --- level-synchronous candidate frame: every frontier
+        # pattern's embeddings share one packed schema (_emb/_edges
+        # arrays) and union FIRST; the three extension joins then run
+        # over the union — Spark jobs AND analyzed join plans per
+        # LEVEL are O(1), independent of frontier size (round-1 job
+        # storm fix, stage 3: round 2 still built 3 joins per pattern)
         by_pid: dict[int, tuple[Pattern, DataFrame, int]] = {}
-        branches: list[DataFrame] = []
+        packed_parts: list[DataFrame] = []
+        node_ok_pids: list[int] = []
         for pid, (pattern, emb, n_edges_so_far) in enumerate(frontier):
             if n_edges_so_far >= max_edges:
                 continue
             by_pid[pid] = (pattern, emb, n_edges_so_far)
-            branches.extend(
-                _extension_candidates(pattern, emb, v, e, max_nodes, pid)
-            )
-        if not branches:
+            packed_parts.append(_packed_embeddings(pattern, emb, pid))
+            if len(pattern.nodes) < max_nodes:
+                node_ok_pids.append(pid)
+        if not packed_parts:
             break
-        # balanced tree union: Dataset creation analyzes its plan
+
+        # balanced tree unions: Dataset creation analyzes its plan
         # eagerly, so a linear unionByName chain costs O(B²) analyzer
-        # node-visits over B branches; pairing halves that to O(B log B)
-        tier = branches
-        while len(tier) > 1:
-            tier = [
-                tier[i].unionByName(tier[i + 1]) if i + 1 < len(tier) else tier[i]
-                for i in range(0, len(tier), 2)
-            ]
-        cand = tier[0]
+        # node-visits over B frames; pairing halves that to O(B log B)
+        def _tree_union(frames: list[DataFrame]) -> DataFrame:
+            tier = frames
+            while len(tier) > 1:
+                tier = [
+                    tier[i].unionByName(tier[i + 1])
+                    if i + 1 < len(tier)
+                    else tier[i]
+                    for i in range(0, len(tier), 2)
+                ]
+            return tier[0]
+
+        packed = _tree_union(packed_parts)
+        cand = _tree_union(_level_branches(packed, v, e, node_ok_pids))
         # the union has (#branches × shuffle.partitions) partitions —
         # coalesce (narrow, no shuffle) back to one wave of tasks
         # before materializing, or per-task overhead dominates
