@@ -189,6 +189,57 @@ def main() -> None:
 
     extras["mine_150graphs_patterns"] = timed("mine_150graph_db", run_mine)
 
+    # -- training-pipeline ops at throughput scale ----------------------
+    # the driver's documents/embeddings parquet tables are fixed-size
+    # (5k/2k rows — fixed-cost, not throughput), so dedup runs over the
+    # ~1.2M synthetic turn texts and ANN over a derived 200k-vector
+    # table; both are pure JVM-expression paths.
+    from pyspark.sql import functions as F
+
+    from cminer_spark.pipeline import (
+        ivf_topk,
+        minhash_lsh_candidates,
+        pseudo_random_centroids,
+    )
+
+    docs = t.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    extras["minhash_docs"] = t.count()
+    extras["minhash_candidate_pairs"] = timed(
+        "minhash_lsh_turns",
+        lambda: minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4, hash_family="xxhash64"
+        ).count(),
+    )
+
+    n_vecs = int(200_000 * sf * 10)
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(1000))
+                    / 500.0
+                    - 1.0
+                ).cast("float")
+                for d in range(32)
+            ]
+        ).alias("embedding"),
+    )
+    extras["ivf_vectors"] = n_vecs
+    extras["ivf_topk_rows"] = timed(
+        "ivf_ann_200k",
+        lambda: ivf_topk(
+            vecs,
+            [0, 1, 2, 3, 4],
+            k=10,
+            centroids=pseudo_random_centroids(32, 16),
+            n_probe=2,
+        ).count(),
+    )
+    t.unpersist()
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "pagerank_edges_per_sec_per_superstep",

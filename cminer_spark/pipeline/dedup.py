@@ -73,9 +73,11 @@ def ngram_jaccard_pairs(
     pairs with zero overlap are never materialized. Quadratic in the
     worst case; use :func:`minhash_lsh_candidates` at scale.
     """
+    # shingles() is per-doc array_distinct already — no global
+    # DISTINCT needed (it would shuffle every shingle string once more)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("s")
-    ).distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "s")
     b = sh.select(F.col("doc_id").alias("b"), "s")
@@ -108,21 +110,36 @@ def minhash_signatures(
     n: int = DEFAULT_SHINGLE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """MinHash signature per document: ``(doc_id, sig array<string>)``.
+    """MinHash signature per document: ``(doc_id, sig array)``.
 
-    Hash family h_i(s) = md5(i || '|' || s); the signature element is
-    the lexicographic min — identical in any engine with md5.
+    ``hash_family="md5"`` (default): h_i(s) = md5(i || '|' || s),
+    lexicographic-min hex strings — identical in any engine with md5
+    (what the DuckDB oracle gate replicates). ``"xxhash64"``: h_i(s) =
+    xxhash64(i, s), numeric 64-bit mins — the THROUGHPUT family (no
+    hex-string materialization, cheaper hash), for engines-internal
+    runs where cross-engine portability is not needed.
+
+    The shingle explode needs no global DISTINCT (``shingles()`` is
+    per-doc ``array_distinct`` already, and duplicate shingles cannot
+    change a min anyway), so the only shuffle is the min-aggregate's —
+    partial-aggregated map-side to doc grain.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, n)).alias("s")
-    ).distinct()
-    mins = sh.groupBy("doc_id").agg(
-        *[
+    )
+    if hash_family == "xxhash64":
+        hashes = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hashes = [
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    )
+    mins = sh.groupBy("doc_id").agg(*hashes)
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -135,16 +152,29 @@ def minhash_lsh_candidates(
     n: int = DEFAULT_SHINGLE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing ≥1 identical band
-    (band = md5 of its rows of the MinHash signature).
+    (band = hash of its rows of the MinHash signature).
 
     Output ``(a, b, n_bands)``. The join is an equi-join on
     ``(band_idx, band_hash)`` buckets — never all-pairs.
+    ``hash_family`` as in :func:`minhash_signatures` — md5 (oracle-
+    portable, default) or xxhash64 (throughput).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, hash_family)
+
+    def band_hash(bi: int) -> F.Column:
+        elems = [
+            F.element_at("sig", bi * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_family == "xxhash64":
+            return F.xxhash64(*elems).cast("string")
+        return F.md5(F.concat_ws("|", *elems))
+
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -152,15 +182,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at("sig", bi * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
+                        band_hash(bi).alias("band_hash"),
                     )
                     for bi in range(bands)
                 ]

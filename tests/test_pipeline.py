@@ -62,6 +62,24 @@ def test_minhash_lsh_catches_what_jaccard_catches(spark, docs):
     assert strong <= cands
 
 
+def test_minhash_xxhash64_family_parity(spark, docs):
+    """The xxhash64 throughput family must catch the same planted
+    near-duplicate candidates as the md5 (oracle-portable) family —
+    both are uniform hash families over the same shingle sets."""
+    md5_pairs = {
+        (r.a, r.b)
+        for r in minhash_lsh_candidates(docs, hash_family="md5").collect()
+    }
+    xx_pairs = {
+        (r.a, r.b)
+        for r in minhash_lsh_candidates(docs, hash_family="xxhash64").collect()
+    }
+    # planted pairs (exact dup always shares all bands; near-dup with
+    # high shingle overlap shares ≥1 band in either family)
+    assert (0, 10_000) in md5_pairs and (0, 10_000) in xx_pairs
+    assert (0, 20_000) in md5_pairs and (0, 20_000) in xx_pairs
+
+
 def test_simhash_near_dup_small_hamming(spark, docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert sh[0] == sh[10_000]  # identical text → identical simhash
