@@ -1,6 +1,7 @@
 """spark-submit entry point.
 
-    spark-submit --py-files cminer_spark.zip -m cminer_spark \
+    spark-submit --master <cluster> --py-files cminer_spark.zip \
+        cminer_spark/__main__.py \
         --transcripts iceberg:warehouse.conv.transcripts \
         --algorithm pagerank --tol 1e-6 --max-iter 100 \
         --checkpoint-dir /mnt/shared/ck/run1 --output parquet:/out/ranks

@@ -27,36 +27,57 @@ def get_spark(
     local[32] — the sandbox proxy for N vs 4N executors) are
     shuffle-bound the same way.
     """
-    master = master or os.environ.get("CMINER_SPARK_MASTER", "local[*]")
-    cores = _master_cores(master)
+    # Under spark-submit the JVM launches Python and exports
+    # PYSPARK_GATEWAY_PORT — there the submitted --master/--conf are
+    # authoritative: we must NOT force a master, and engine defaults
+    # apply only where the submitted conf is silent (a builder.config
+    # would otherwise clobber the user's --conf).
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("CMINER_SPARK_MASTER")
+    if master is None and not submitted:
+        master = "local[*]"
+    cores = _master_cores(master) if master else 8
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(cores))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    pre: dict[str, str] = {}
+    if submitted:
+        try:
+            from pyspark import SparkConf
+
+            pre = dict(SparkConf().getAll())
+        except Exception:
+            pre = {}
+
+    defaults = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.default.parallelism": str(cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
         # Iterative graph supersteps re-join the (cached, unsorted)
         # adjacency every iteration: sort-merge joins would re-sort the
         # full edge table per superstep. Shuffled-hash joins measured
         # 2.5x faster on the PageRank superstep at 16M edges.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config("spark.sql.shuffledHashJoinFactor", "3")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.shuffledHashJoinFactor": "3",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Vectorized kernels (mapInArrow/mapInPandas) amortize their
         # per-batch overhead over the batch: the 10k default makes a
         # 500k-row partition pay ~50 batch round-trips where 8 do.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("CMINER_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-    )
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("CMINER_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in defaults.items():
+        if k not in pre:
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
