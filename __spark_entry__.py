@@ -101,6 +101,27 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on the tool-hub vertices (the
+    deterministic ``invokes`` targets, ids >= 1e9)."""
+    edges = gate.gate_edges_df(spark, sf_dir)
+    seeds = [
+        r.v_id
+        for r in edges.select(F.col("src").alias("v_id"))
+        .union(edges.select(F.col("dst").alias("v_id")))
+        .where(F.col("v_id") >= 1_000_000_000)
+        .distinct()
+        .collect()
+    ]
+    ranks, info = pagerank(
+        edges, damping=gate.DAMPING, tol=0.0, max_iter=gate.PR_ITERS, seeds=seeds
+    )
+    n = info.n_vertices
+    return ranks.select(
+        "v_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
+    )
+
+
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
@@ -379,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,
+        "ppr_k5": _q_ppr,
         "connected_components_k10": _q_cc,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
@@ -406,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees": gate.degrees_oracle_sql(),
         "degrees_by_type": gate.degrees_by_type_oracle_sql(),
         "pagerank_k5": gate.pagerank_oracle_sql(),
+        "ppr_k5": gate.ppr_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),

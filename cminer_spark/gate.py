@@ -156,6 +156,46 @@ FROM r{k} r CROSS JOIN nv"""
     return _materialize("".join(parts))
 
 
+def ppr_oracle_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
+    """Personalized PageRank, seeded on the tool-hub vertices
+    (``v >= 1000000000`` — the deterministic `invokes` targets).
+    Teleport AND dangling mass re-enter through the seed set only;
+    r0 = the reset vector, matching the engine's ``seeds=`` path."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+adjw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM edges GROUP BY src, dst),
+outw AS (SELECT src, sum(w) AS ow FROM adjw GROUP BY src),
+adj  AS (SELECT a.src, a.dst, a.w / o.ow AS p FROM adjw a JOIN outw o ON a.src = o.src),
+nv   AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+seeds AS (SELECT v FROM verts WHERE v >= 1000000000),
+nsd  AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM seeds),
+resetv AS (SELECT v.v, CASE WHEN s.v IS NOT NULL THEN 1.0 / nsd.m ELSE 0.0 END AS rv
+           FROM verts v CROSS JOIN nsd LEFT JOIN seeds s ON v.v = s.v),
+dangf AS (SELECT v.v, CASE WHEN o.src IS NULL THEN 1 ELSE 0 END AS dang
+          FROM verts v LEFT JOIN outw o ON v.v = o.src),
+r0 AS (SELECT v, rv AS r FROM resetv)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+m{i} AS (SELECT a.dst AS v, sum(a.p * r.r) AS mass
+         FROM adj a JOIN r{i-1} r ON a.src = r.v GROUP BY a.dst),
+dg{i} AS (SELECT coalesce(sum(r.r), 0.0) AS dmass
+          FROM r{i-1} r JOIN dangf f ON r.v = f.v WHERE f.dang = 1),
+r{i} AS (SELECT rv.v,
+                (1.0 - {d}) * rv.rv + {d} * (coalesce(m.mass, 0.0) + dg.dmass * rv.rv) AS r
+         FROM resetv rv CROSS JOIN dg{i} dg
+         LEFT JOIN m{i} m ON rv.v = m.v)"""
+        )
+    parts.append(
+        f"""
+SELECT r.v AS v_id, round(r.r * nv.n, 6) AS rank_x_n
+FROM r{k} r CROSS JOIN nv"""
+    )
+    return _materialize("".join(parts))
+
+
 def cc_oracle_sql(k: int = CC_ROUNDS) -> str:
     parts = [
         f"WITH {EDGES_CTE}",

@@ -68,6 +68,7 @@ def pagerank(
     salt_partitions: int | None = None,
     weight_col: str = "weight",
     use_csr: bool = False,
+    seeds: list | None = None,
 ) -> tuple[DataFrame, PageRankInfo]:
     """Run PageRank on ``edges(src, dst[, weight])``.
 
@@ -81,6 +82,13 @@ def pagerank(
     join probes |V| wide rows instead of |E| flat rows, the |E|-sized
     explode happens map-side after the join. A/B timings live in
     BENCH/BASELINE.md; the flat representation is the default.
+    ``seeds``: PERSONALIZED PageRank (random walk with restart) — the
+    reset vector is uniform over the given vertex ids instead of over
+    all vertices. The conservation-invariant dangling trick is
+    unchanged (dangling mass re-enters through the same reset vector,
+    so Σrank stays exactly 1); the seed list is driver-small and
+    compiles to an ``isin`` predicate — no extra join or shuffle per
+    superstep.
     Returns ``(ranks(v_id, rank), info)``.
     """
     import time
@@ -189,9 +197,25 @@ def pagerank(
     # separate scan: power iteration preserves Σrank = 1 exactly (up
     # to ~1e-16/step float drift), so dangling = 1 - Σ in_mass — one
     # scalar aggregate over the already-computed sums.
+    # reset vector: uniform 1/n, or uniform over the seed set
+    # (personalized). The uniform branch keeps its original literal
+    # arithmetic so un-seeded results stay bit-identical.
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("seeds must be a non-empty vertex-id list")
+        seed_list = sorted({int(s) for s in seeds})
+        reset = F.when(
+            F.col("v_id").isin(seed_list), F.lit(1.0 / len(seed_list))
+        ).otherwise(F.lit(0.0))
+    else:
+        reset = None
+
     check_convergence = tol > 0.0
     start_iter = 0
-    state = verts.select("v_id", F.lit(1.0 / n).alias("rank"))
+    state = verts.select(
+        "v_id",
+        (reset if reset is not None else F.lit(1.0 / n)).alias("rank"),
+    )
     if checkpoint is not None:
         resume = checkpoint.latest()
         if resume is not None:
@@ -261,6 +285,17 @@ def pagerank(
             (F.lit(1.0) - F.coalesce(F.sum("in_mass"), F.lit(0.0))).alias("dmass")
         )
         base = verts if not check_convergence else state
+        # Personalized runs teleport (and re-inject dangling mass)
+        # through the reset vector instead of uniformly; Σreset = 1
+        # keeps the Σrank = 1 conservation invariant that the dangling
+        # trick depends on. The uniform branch keeps its original
+        # literal arithmetic so un-seeded results stay bit-identical.
+        if reset is not None:
+            teleport = F.lit(1.0 - damping) * reset
+            dangling_term = F.col("dmass") * reset
+        else:
+            teleport = F.lit((1.0 - damping) / n)
+            dangling_term = F.col("dmass") / n
         new_state = (
             base.join(
                 sums.withColumnRenamed("dst", "v_id").hint("shuffle_hash"),
@@ -271,11 +306,11 @@ def pagerank(
             .select(
                 "v_id",
                 (
-                    F.lit((1.0 - damping) / n)
+                    teleport
                     + F.lit(damping)
                     * (
                         F.coalesce("in_mass", F.lit(0.0))
-                        + F.col("dmass") / n
+                        + dangling_term
                     )
                 ).alias("rank"),
                 *(

@@ -20,9 +20,11 @@ def pagerank_oracle(
     damping: float = 0.85,
     tol: float = 1e-9,
     max_iter: int = 500,
+    seeds: list[int] | None = None,
 ) -> dict[int, float]:
     """Power iteration; multigraph parallel edges sum weights; dangling
-    mass redistributed uniformly; L1 convergence err < N*tol."""
+    mass redistributed via the reset vector (uniform, or uniform over
+    ``seeds`` for personalized runs); L1 convergence err < N*tol."""
     vs = set(vertices or [])
     for s, d, _ in edges:
         vs.add(s)
@@ -38,14 +40,21 @@ def pagerank_oracle(
         k = (idx[s], idx[d])
         w[k] = w.get(k, 0.0) + wt
         out_w[idx[s]] += wt
-    x = np.full(n, 1.0 / n)
+    if seeds is not None:
+        seed_set = set(seeds)
+        reset = np.zeros(n)
+        for s in seed_set:
+            reset[idx[s]] = 1.0 / len(seed_set)
+    else:
+        reset = np.full(n, 1.0 / n)
+    x = reset.copy()
     for _ in range(max_iter):
         xlast = x
         x = np.zeros(n)
         for (si, di), wt in w.items():
             x[di] += damping * xlast[si] * wt / out_w[si]
         dangling = xlast[out_w == 0].sum()
-        x += (1.0 - damping) / n + damping * dangling / n
+        x += (1.0 - damping) * reset + damping * dangling * reset
         if np.abs(x - xlast).sum() < n * tol:
             break
     return {v: x[idx[v]] for v in vs}

@@ -14,17 +14,22 @@ from tests.conftest import edges_df
 from tests.oracles import pagerank_oracle
 
 
-def _assert_parity(spark, pairs, vertices=None, **kw):
+def _assert_parity(spark, pairs, vertices=None, seeds=None, **kw):
     df = edges_df(spark, pairs)
     vdf = (
         spark.createDataFrame([(int(v),) for v in vertices], "v_id long")
         if vertices
         else None
     )
-    ranks, info = pagerank(df, tol=1e-9, max_iter=200, vertices=vdf, **kw)
+    ranks, info = pagerank(
+        df, tol=1e-9, max_iter=200, vertices=vdf, seeds=seeds, **kw
+    )
     got = {r.v_id: r.rank for r in ranks.collect()}
     want = pagerank_oracle(
-        [(p[0], p[1], 1.0) for p in pairs], vertices=vertices, tol=1e-9
+        [(p[0], p[1], 1.0) for p in pairs],
+        vertices=vertices,
+        tol=1e-9,
+        seeds=seeds,
     )
     assert set(got) == set(want)
     a = np.array([got[k] for k in sorted(got)])
@@ -159,3 +164,40 @@ def test_pagerank_csr_path_matches_flat(spark):
     g3 = {r.v_id: r.rank for r in csr_s.collect()}
     c = np.array([g3[k] for k in sorted(g3)])
     assert np.allclose(a, c, atol=1e-12)
+
+
+def test_personalized_seeds_parity(spark):
+    """Personalized PageRank (seeds reset vector) vs the numpy oracle:
+    teleport AND dangling mass re-enter through the seed set only."""
+    rng = random.Random(21)
+    n = 40
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(180)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    info = _assert_parity(spark, pairs, seeds=[3, 11, 27])
+    assert info.converged
+
+
+def test_personalized_single_seed_with_dangling(spark):
+    # chain into a dangling sink; all teleport + dangling mass returns
+    # to the single seed, so the seed's rank dominates.
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    _assert_parity(spark, pairs, vertices=[1, 2, 3, 4, 99], seeds=[1])
+
+
+def test_personalized_seed_mass_locality(spark):
+    # Two disconnected cycles; seeding only cycle A ⇒ cycle B's rank
+    # is exactly 0 (no teleport ever lands there).
+    a = [(i, (i + 1) % 5) for i in range(5)]
+    b = [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+    df = edges_df(spark, a + b)
+    ranks, _ = pagerank(df, tol=1e-10, max_iter=100, seeds=[0, 1, 2, 3, 4])
+    got = {r.v_id: r.rank for r in ranks.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(got[10 + i] == 0.0 for i in range(5))
+    assert all(got[i] > 0.0 for i in range(5))
+
+
+def test_personalized_empty_seeds_raises(spark):
+    df = edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=[])
