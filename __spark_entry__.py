@@ -31,6 +31,7 @@ from cminer_spark.operators import (
     degrees_by_type,
     extract_edges,
     hashmin_components,
+    hits,
     label_propagation,
     pagerank,
     triangle_counts,
@@ -119,6 +120,17 @@ def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = info.n_vertices
     return ranks.select(
         "v_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
+    )
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = gate.gate_edges_df(spark, sf_dir)
+    scores, info = hits(edges, tol=0.0, max_iter=gate.HITS_ITERS)
+    n = float(info.n_vertices)
+    return scores.select(
+        "v_id",
+        F.round(F.col("hub") * F.lit(n), 6).alias("hub_x_n"),
+        F.round(F.col("auth") * F.lit(n), 6).alias("auth_x_n"),
     )
 
 
@@ -401,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,
         "ppr_k5": _q_ppr,
+        "hits_k4": _q_hits,
         "connected_components_k10": _q_cc,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
@@ -429,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees_by_type": gate.degrees_by_type_oracle_sql(),
         "pagerank_k5": gate.pagerank_oracle_sql(),
         "ppr_k5": gate.ppr_oracle_sql(),
+        "hits_k4": gate.hits_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 DAMPING = 0.85
 PR_ITERS = 5
+HITS_ITERS = 4
 CC_ROUNDS = 10
 LPA_ROUNDS = 3
 KHOP_K = 2
@@ -192,6 +193,41 @@ r{i} AS (SELECT rv.v,
         f"""
 SELECT r.v AS v_id, round(r.r * nv.n, 6) AS rank_x_n
 FROM r{k} r CROSS JOIN nv"""
+    )
+    return _materialize("".join(parts))
+
+
+def hits_oracle_sql(k: int = HITS_ITERS) -> str:
+    """Kleinberg HITS, k iterations, L1-normalized each half-step
+    (auth from the previous hub, hub from the NEW auth) — matching
+    :func:`cminer_spark.operators.hits.hits` with ``tol=0``."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+adjw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM edges GROUP BY src, dst),
+nv   AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+h0 AS (SELECT v.v, 1.0 / nv.n AS h FROM verts v CROSS JOIN nv)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+ar{i} AS (SELECT a.dst AS v, sum(a.w * h.h) AS x
+          FROM adjw a JOIN h{i-1} h ON a.src = h.v GROUP BY a.dst),
+asum{i} AS (SELECT sum(x) AS s FROM ar{i}),
+a{i} AS (SELECT v.v, coalesce(ar.x, 0.0) / s.s AS a
+         FROM verts v CROSS JOIN asum{i} s LEFT JOIN ar{i} ar ON v.v = ar.v),
+hr{i} AS (SELECT e.src AS v, sum(e.w * aa.a) AS x
+          FROM adjw e JOIN a{i} aa ON e.dst = aa.v GROUP BY e.src),
+hsum{i} AS (SELECT sum(x) AS s FROM hr{i}),
+h{i} AS (SELECT v.v, coalesce(hr.x, 0.0) / s.s AS h
+         FROM verts v CROSS JOIN hsum{i} s LEFT JOIN hr{i} hr ON v.v = hr.v)"""
+        )
+    parts.append(
+        f"""
+SELECT h.v AS v_id,
+       round(h.h * nv.n, 6) AS hub_x_n,
+       round(a.a * nv.n, 6) AS auth_x_n
+FROM h{k} h JOIN a{k} a ON h.v = a.v CROSS JOIN nv"""
     )
     return _materialize("".join(parts))
 

@@ -5,6 +5,7 @@ from cminer_spark.operators.edges import (
 )
 from cminer_spark.operators.graph import degrees, degrees_by_type, hub_vertices, csr_blocks
 from cminer_spark.operators.pagerank import pagerank
+from cminer_spark.operators.hits import hits
 from cminer_spark.operators.components import connected_components, hashmin_components
 from cminer_spark.operators.lpa import label_propagation
 from cminer_spark.operators.triangles import triangle_counts
@@ -18,6 +19,7 @@ __all__ = [
     "hub_vertices",
     "csr_blocks",
     "pagerank",
+    "hits",
     "connected_components",
     "hashmin_components",
     "label_propagation",

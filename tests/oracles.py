@@ -121,3 +121,42 @@ def hashmin_oracle(
             new[v] = m
         labels = new
     return labels
+
+
+def hits_oracle(
+    edges: list[tuple[int, int, float]],
+    vertices: list[int] | None = None,
+    tol: float = 1e-9,
+    max_iter: int = 500,
+) -> dict[int, tuple[float, float]]:
+    """Kleinberg HITS with L1 normalization each half-step (auth from
+    prev hub, hub from the NEW auth); multigraph parallel edges sum
+    weights. Returns {v: (hub, auth)}."""
+    vs = set(vertices or [])
+    for s, d, _ in edges:
+        vs.add(s)
+        vs.add(d)
+    vs = sorted(vs)
+    idx = {v: i for i, v in enumerate(vs)}
+    n = len(vs)
+    if n == 0:
+        return {}
+    w = {}
+    for s, d, wt in edges:
+        k = (idx[s], idx[d])
+        w[k] = w.get(k, 0.0) + wt
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        hlast, alast = h, a
+        a = np.zeros(n)
+        for (si, di), wt in w.items():
+            a[di] += wt * hlast[si]
+        a = a / a.sum()
+        h = np.zeros(n)
+        for (si, di), wt in w.items():
+            h[si] += wt * a[di]
+        h = h / h.sum()
+        if (np.abs(h - hlast).sum() + np.abs(a - alast).sum()) < n * tol:
+            break
+    return {v: (h[idx[v]], a[idx[v]]) for v in vs}
