@@ -134,6 +134,15 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.kcore import core_numbers
+
+    cores, _info = core_numbers(
+        gate.gate_edges_df(spark, sf_dir), max_rounds=gate.KCORE_ROUNDS
+    )
+    return cores
+
+
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k5": _q_pagerank,
         "ppr_k5": _q_ppr,
         "hits_k4": _q_hits,
+        "core_numbers": _q_kcore,
         "connected_components_k10": _q_cc,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
@@ -443,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k5": gate.pagerank_oracle_sql(),
         "ppr_k5": gate.ppr_oracle_sql(),
         "hits_k4": gate.hits_oracle_sql(),
+        "core_numbers": gate.kcore_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),

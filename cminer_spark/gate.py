@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 DAMPING = 0.85
 PR_ITERS = 5
 HITS_ITERS = 4
+KCORE_ROUNDS = 8
 CC_ROUNDS = 10
 LPA_ROUNDS = 3
 KHOP_K = 2
@@ -229,6 +230,33 @@ SELECT h.v AS v_id,
        round(a.a * nv.n, 6) AS auth_x_n
 FROM h{k} h JOIN a{k} a ON h.v = a.v CROSS JOIN nv"""
     )
+    return _materialize("".join(parts))
+
+
+def kcore_oracle_sql(k: int = KCORE_ROUNDS) -> str:
+    """k rounds of the distributed h-index coreness iteration
+    (Montresor et al.) — matches
+    :func:`cminer_spark.operators.kcore.core_numbers` with
+    ``max_rounds=k`` (the operator's early-stop at the fixpoint is
+    idempotent, so extra oracle rounds are no-ops)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+degc AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+c0 AS (SELECT v.v, CAST(coalesce(d.d, 0) AS BIGINT) AS c
+       FROM verts v LEFT JOIN degc d ON v.v = d.u)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+nb{i} AS (SELECT s.u, c.c FROM sym s JOIN c{i-1} c ON s.v = c.v),
+ct{i} AS (SELECT u, c, count(*) AS k FROM nb{i} GROUP BY u, c),
+cm{i} AS (SELECT u, c, sum(k) OVER (PARTITION BY u ORDER BY c DESC) AS ge FROM ct{i}),
+h{i} AS (SELECT u, max(least(c, ge)) AS h FROM cm{i} GROUP BY u),
+c{i} AS (SELECT p.v, CAST(least(p.c, coalesce(h.h, 0)) AS BIGINT) AS c
+         FROM c{i-1} p LEFT JOIN h{i} h ON p.v = h.u)"""
+        )
+    parts.append(f"\nSELECT v AS v_id, c AS core FROM c{k}")
     return _materialize("".join(parts))
 
 
