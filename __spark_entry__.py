@@ -143,6 +143,22 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cores
 
 
+def _q_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.clustering import clustering_coefficients
+
+    return clustering_coefficients(gate.gate_edges_df(spark, sf_dir))
+
+
+def _q_clustering_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.clustering import global_clustering
+
+    # avg_clustering is pytest-verified (float-mean summation order is
+    # engine-dependent); the gate compares the integer-exact columns
+    return global_clustering(gate.gate_edges_df(spark, sf_dir)).select(
+        "transitivity", "n_vertices", "n_triangles", "n_wedges"
+    )
+
+
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
@@ -424,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_k5": _q_ppr,
         "hits_k4": _q_hits,
         "core_numbers": _q_kcore,
+        "clustering_local": _q_clustering_local,
+        "clustering_global": _q_clustering_global,
         "connected_components_k10": _q_cc,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
@@ -454,6 +472,8 @@ def oracle_sql() -> dict[str, str]:
         "ppr_k5": gate.ppr_oracle_sql(),
         "hits_k4": gate.hits_oracle_sql(),
         "core_numbers": gate.kcore_oracle_sql(),
+        "clustering_local": gate.clustering_local_oracle_sql(),
+        "clustering_global": gate.clustering_global_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),

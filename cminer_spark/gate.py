@@ -341,6 +341,60 @@ FROM verts v LEFT JOIN cnt c ON v.v = c.v_id"""
     )
 
 
+CLUSTER_STATS_CTES = """,
+corners AS (SELECT piv AS v_id FROM tris
+            UNION ALL SELECT x FROM tris
+            UNION ALL SELECT y FROM tris),
+cnt AS (SELECT v_id, count(*) AS triangles FROM corners GROUP BY v_id),
+cstats AS (SELECT v.v AS v_id,
+                  CAST(coalesce(d.dg, 0) AS BIGINT) AS degree,
+                  CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+           FROM verts v LEFT JOIN degs d ON v.v = d.v
+                        LEFT JOIN cnt c ON v.v = c.v_id)
+"""
+
+
+def clustering_local_oracle_sql() -> str:
+    """Per-vertex local clustering coefficient — matches
+    :func:`cminer_spark.operators.clustering.clustering_coefficients`
+    (same single-expression double arithmetic, so values are
+    bit-identical)."""
+    return _materialize(
+        f"WITH {EDGES_CTE}{TRIANGLE_CTES}{CLUSTER_STATS_CTES}"
+        """
+SELECT v_id, degree, triangles,
+       CASE WHEN degree >= 2
+            THEN (2.0 * triangles)
+                 / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS lcc
+FROM cstats"""
+    )
+
+
+def clustering_global_oracle_sql() -> str:
+    """Global transitivity summary — integer corner/wedge sums with one
+    final double division, so the value is engine-order independent
+    (matches ``global_clustering``; ``avg_clustering`` is deliberately
+    not gated — a float mean's summation order differs across engines
+    — and is pytest-verified against networkx instead)."""
+    return _materialize(
+        f"WITH {EDGES_CTE}{TRIANGLE_CTES}{CLUSTER_STATS_CTES}"
+        """,
+agg AS (SELECT CAST(sum(triangles) AS BIGINT) AS tc,
+               CAST(sum(CASE WHEN degree >= 2
+                             THEN degree * (degree - 1) / 2
+                             ELSE 0 END) AS BIGINT) AS nw,
+               count(*) AS n_vertices
+        FROM cstats)
+SELECT CASE WHEN nw > 0 THEN CAST(tc AS DOUBLE) / CAST(nw AS DOUBLE)
+            ELSE 0.0 END AS transitivity,
+       n_vertices,
+       CAST(tc / 3 AS BIGINT) AS n_triangles,
+       nw AS n_wedges
+FROM agg"""
+    )
+
+
 def edge_extract_oracle_sql() -> str:
     return (
         f"WITH {TRANSCRIPTS_CTE}"

@@ -30,11 +30,16 @@ def _undirected_simple(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(
+def triangle_stats(
     edges: DataFrame, vertices: DataFrame | None = None
-) -> tuple[DataFrame, int]:
-    """Returns ``(per_vertex(v_id, triangles), total)`` over the simple
-    undirected projection of ``edges(src, dst)``."""
+) -> DataFrame:
+    """Per-vertex ``(v_id, degree, triangles)`` over the simple
+    undirected projection of ``edges(src, dst)``. Materialized
+    (lineage-truncated) before returning, so the persisted
+    adjacency/orientation frames are computed exactly once no matter
+    how often the result is consumed."""
+    from cminer_spark.plans.checkpoint import truncate_lineage
+
     und = _undirected_simple(edges).persist()
 
     deg = (
@@ -88,12 +93,30 @@ def triangle_counts(
     )
     if vertices is not None:
         all_v = all_v.union(vertices.select("v_id"))
-    per_vertex = (
+    stats = (
         all_v.distinct()
         .join(per_corner, "v_id", "left")
-        .select("v_id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+        .join(deg.withColumnRenamed("v", "v_id"), "v_id", "left")
+        .select(
+            "v_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
     )
-    total_row = tris.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    stats = truncate_lineage(stats)
     und.unpersist()
     oriented.unpersist()
-    return per_vertex, int(total_row["n"])
+    return stats
+
+
+def triangle_counts(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> tuple[DataFrame, int]:
+    """Returns ``(per_vertex(v_id, triangles), total)`` over the simple
+    undirected projection of ``edges(src, dst)``. Total = Σ per-vertex
+    counts / 3 (every triangle has three corners)."""
+    stats = triangle_stats(edges, vertices)
+    total = int(
+        (stats.agg(F.sum("triangles").alias("s")).collect()[0]["s"] or 0) // 3
+    )
+    return stats.select("v_id", "triangles"), total
