@@ -143,6 +143,21 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cores
 
 
+def _q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.paths import shortest_paths
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    seeds = (
+        edges.where(F.col("type") == "invokes")
+        .select(F.col("dst").alias("v_id"))
+        .distinct()
+    )
+    dists, _info = shortest_paths(
+        edges, seeds, directed=False, max_rounds=gate.BFS_ROUNDS
+    )
+    return dists
+
+
 def _q_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.operators.clustering import clustering_coefficients
 
@@ -442,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_kcore,
         "clustering_local": _q_clustering_local,
         "clustering_global": _q_clustering_global,
+        "bfs_dist_tools": _q_bfs_dist,
         "connected_components_k10": _q_cc,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
@@ -474,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers": gate.kcore_oracle_sql(),
         "clustering_local": gate.clustering_local_oracle_sql(),
         "clustering_global": gate.clustering_global_oracle_sql(),
+        "bfs_dist_tools": gate.bfs_dist_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),

@@ -29,6 +29,7 @@ DAMPING = 0.85
 PR_ITERS = 5
 HITS_ITERS = 4
 KCORE_ROUNDS = 8
+BFS_ROUNDS = 6
 CC_ROUNDS = 10
 LPA_ROUNDS = 3
 KHOP_K = 2
@@ -257,6 +258,32 @@ c{i} AS (SELECT p.v, CAST(least(p.c, coalesce(h.h, 0)) AS BIGINT) AS c
          FROM c{i-1} p LEFT JOIN h{i} h ON p.v = h.u)"""
         )
     parts.append(f"\nSELECT v AS v_id, c AS core FROM c{k}")
+    return _materialize("".join(parts))
+
+
+def bfs_dist_oracle_sql(k: int = BFS_ROUNDS) -> str:
+    """k rounds of multi-source min-plus relaxation (undirected, unit
+    weights) from the tool-hub vertices — matches
+    :func:`cminer_spark.operators.paths.shortest_paths` with
+    ``directed=False, max_rounds=k`` (frontier relaxation yields the
+    same ≤k-edge-path minimum as the whole-state relaxation unrolled
+    here; early convergence is idempotent)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+seeds AS (SELECT DISTINCT dst AS v FROM edges WHERE type = 'invokes'),
+d0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM seeds)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+rx{i} AS (SELECT s.v AS v, d.dist + 1 AS dist
+          FROM d{i-1} d JOIN sym s ON d.v = s.u),
+d{i} AS (SELECT v, min(dist) AS dist
+         FROM (SELECT * FROM d{i-1} UNION ALL SELECT * FROM rx{i}) t
+         GROUP BY v)"""
+        )
+    parts.append(f"\nSELECT v AS v_id, dist FROM d{k}")
     return _materialize("".join(parts))
 
 

@@ -1,0 +1,167 @@
+"""Multi-source shortest paths — frontier-based distributed Bellman-Ford.
+
+Unweighted it is multi-source BFS (hop distances, ``bigint``); with a
+weight column it is the classic label-correcting relaxation
+(``double`` distances, non-negative weights assumed for the
+convergence bound to be the longest shortest path).
+
+Scale design (the same superstep discipline as
+:mod:`cminer_spark.operators.pagerank`):
+
+* the adjacency collapses parallel edges to their min weight once,
+  is hash-partitioned on the relax key and persisted; every round
+  shuffles only the FRONTIER (vertices whose distance improved last
+  round), not the full state — frontier relaxation provably yields
+  the same state as whole-graph relaxation for monotone min-plus, so
+  the k-round prefix is still "min over ≤k-edge paths" (which is what
+  the unrolled SQL gate mirrors);
+* the improved-vertex count rides the state write via
+  ``df.observe()`` — one Spark job per round;
+* state holds REACHED vertices only (sparse): on a 100 TB graph with
+  a small seed set the early rounds touch a tiny fraction of |V|;
+* lineage per round is cut by :class:`SuperstepCheckpoint` (durable,
+  resumable) or the parquet double-buffer.
+
+The reference has no distance operator; its BFS neighborhood
+(``/root/reference/src/Graph/Graph.py:184-210``) is the reachability
+special case (see :func:`cminer_spark.operators.graph.
+k_hop_neighborhood`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from cminer_spark.plans.checkpoint import (
+    EphemeralStateStore,
+    SuperstepCheckpoint,
+    truncate_lineage,
+)
+
+
+@dataclass
+class PathInfo:
+    rounds: int = 0
+    converged: bool = False
+    improved: list = field(default_factory=list)
+    weighted: bool = False
+    resumed_from: int | None = None
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str | None = None,
+    directed: bool = True,
+    max_rounds: int = 50,
+    checkpoint: SuperstepCheckpoint | None = None,
+) -> tuple[DataFrame, PathInfo]:
+    """Distances from the nearest source. Returns
+    ``(dists(v_id, dist), info)`` — reached vertices only; ``dist``
+    is ``bigint`` hops when ``weight_col`` is None, else ``double``.
+
+    ``sources`` is a ``(v_id)`` frame. With ``max_rounds=k`` and no
+    convergence, the result is exact over paths of ≤k edges (a valid
+    lower-bound-complete prefix the unrolled SQL gate mirrors;
+    converged early stops are idempotent under extra rounds).
+    """
+    spark = edges.sparkSession
+    info = PathInfo(weighted=weight_col is not None)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if weight_col is None:
+        e = edges.select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.lit(1).cast("long").alias("w"),
+        )
+    else:
+        e = edges.select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    # parallel edges: only the cheapest matters
+    adj = e.groupBy("u", "v").agg(F.min("w").alias("w"))
+    n_adj = adj.count()
+    iter_parts = min(shuffle_parts, max(1, -(-n_adj // 250_000)))
+    adj = adj.repartition(iter_parts, "u").persist()
+
+    zero = F.lit(0).cast("long" if weight_col is None else "double")
+    start_round = 0
+    state = sources.select("v_id").distinct().select("v_id", zero.alias("dist"))
+    frontier = state
+    if checkpoint is not None:
+        resume = checkpoint.latest()
+        if resume is not None:
+            start_round, state, _meta = resume
+            state = state.select("v_id", "dist")
+            info.resumed_from = start_round
+            if (_meta.get("metrics") or {}).get("improved") == 0:
+                info.rounds = start_round
+                info.converged = True
+                adj.unpersist()
+                return state, info
+            # resumed frontier = full state (a superset of the true
+            # frontier; one extra round of no-op relaxations, then the
+            # improved-count discipline takes over)
+            frontier = state
+    state = truncate_lineage(state)
+    frontier = truncate_lineage(frontier)
+    store = EphemeralStateStore(spark, "sssp") if checkpoint is None else None
+
+    for rnd in range(start_round + 1, max_rounds + 1):
+        cand = (
+            adj.join(
+                frontier.select(
+                    F.col("v_id").alias("u"), F.col("dist").alias("du")
+                ).hint("shuffle_hash"),
+                "u",
+            )
+            .select(F.col("v").alias("v_id"), (F.col("du") + F.col("w")).alias("nd"))
+            .groupBy("v_id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            state.join(cand.hint("shuffle_hash"), "v_id", "full_outer")
+            .select(
+                "v_id",
+                F.least(
+                    F.coalesce("dist", F.col("nd")), F.coalesce("nd", F.col("dist"))
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+                ).alias("_imp"),
+            )
+        )
+        obs = Observation(f"sssp_imp_{rnd}")
+        to_save = merged.observe(
+            obs, F.sum(F.col("_imp").cast("long")).alias("imp")
+        ).select("v_id", "dist", "_imp")
+        if checkpoint is not None:
+            saved = checkpoint.save(rnd, to_save, {})
+        else:
+            saved = store.save(to_save, rnd)
+        improved = int(obs.get["imp"] or 0)
+        info.rounds = rnd
+        info.improved.append(improved)
+        if checkpoint is not None:
+            checkpoint.update_metrics(rnd, {"improved": improved})
+        state = saved.select("v_id", "dist")
+        frontier = saved.where(F.col("_imp")).select("v_id", "dist")
+        if improved == 0:
+            info.converged = True
+            break
+
+    adj.unpersist()
+    result = state.select("v_id", "dist")
+    if store is not None and info.rounds > start_round:
+        result = truncate_lineage(result)
+        store.close()
+    return result, info

@@ -1,0 +1,122 @@
+"""Multi-source shortest paths vs networkx (SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import networkx as nx
+import pytest
+
+from cminer_spark.operators.paths import shortest_paths
+from cminer_spark.plans import SuperstepCheckpoint
+
+from tests.conftest import edges_df
+
+
+def _seeds_df(spark, seeds):
+    return spark.createDataFrame([(int(s),) for s in seeds], "v_id long")
+
+
+def _nx_graph(pairs, directed, weighted):
+    g = nx.DiGraph() if directed else nx.Graph()
+    for p in pairs:
+        u, v = p[0], p[1]
+        w = float(p[2]) if weighted else 1
+        if g.has_edge(u, v):
+            w = min(w, g[u][v]["weight"])
+        g.add_edge(u, v, weight=w)
+    return g
+
+
+def _parity(spark, pairs, seeds, directed=True, weighted=False):
+    df = edges_df(spark, pairs)
+    dists, info = shortest_paths(
+        df,
+        _seeds_df(spark, seeds),
+        weight_col="weight" if weighted else None,
+        directed=directed,
+    )
+    assert info.converged
+    got = {r.v_id: r.dist for r in dists.collect()}
+    g = _nx_graph(pairs, directed, weighted)
+    for s in seeds:
+        g.add_node(s)
+    want = nx.multi_source_dijkstra_path_length(g, set(seeds), weight="weight")
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for v, d in want.items():
+        if weighted:
+            assert math.isclose(got[v], d, abs_tol=1e-9), (v, got[v], d)
+        else:
+            assert got[v] == int(d), (v, got[v], d)
+    return info
+
+
+def test_single_source_directed_hops(spark):
+    #   0→1→2→3, 0→3 shortcut, 4 unreachable
+    info = _parity(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (4, 0)], [0])
+    assert not info.weighted
+
+
+def test_multi_source_undirected(spark):
+    pairs = [(i, i + 1) for i in range(20)] + [(100, 101)]
+    _parity(spark, pairs, [0, 101], directed=False)
+
+
+def test_weighted_shortcut_loses_to_cheap_path(spark):
+    # 0→1→2 costs 2, direct 0→2 costs 5; relaxation must prefer 2
+    pairs = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)]
+    _parity(spark, pairs, [0], weighted=True)
+
+
+def test_parallel_edges_take_min_weight(spark):
+    pairs = [(0, 1, 7.0), (0, 1, 2.0), (1, 2, 1.0)]
+    _parity(spark, pairs, [0], weighted=True)
+
+
+def test_random_graph_parity_both_modes(spark):
+    rng = random.Random(23)
+    pairs = [
+        (rng.randrange(50), rng.randrange(50), rng.uniform(0.5, 3.0))
+        for _ in range(200)
+    ]
+    _parity(spark, pairs, [0, 1], directed=True, weighted=True)
+    _parity(spark, pairs, [0, 1], directed=False, weighted=False)
+
+
+def test_fixed_round_prefix_is_k_edge_minimum(spark):
+    # path 0→1→…→9: after max_rounds=3 only hops ≤3 are present
+    pairs = [(i, i + 1) for i in range(9)]
+    df = edges_df(spark, pairs)
+    dists, info = shortest_paths(df, _seeds_df(spark, [0]), max_rounds=3)
+    assert not info.converged and info.rounds == 3
+    got = {r.v_id: r.dist for r in dists.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_checkpoint_resume_matches_fresh(spark, tmp_ckpt):
+    rng = random.Random(5)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    df = edges_df(spark, pairs)
+    seeds = _seeds_df(spark, [0])
+    fresh, _ = shortest_paths(df, seeds, directed=False)
+    want = {r.v_id: r.dist for r in fresh.collect()}
+
+    part, pinfo = shortest_paths(
+        df, seeds, directed=False, max_rounds=2,
+        checkpoint=SuperstepCheckpoint(spark, tmp_ckpt),
+    )
+    assert pinfo.rounds == 2
+    res, rinfo = shortest_paths(
+        df, seeds, directed=False,
+        checkpoint=SuperstepCheckpoint(spark, tmp_ckpt),
+    )
+    assert rinfo.resumed_from == 2 and rinfo.converged
+    got = {r.v_id: r.dist for r in res.collect()}
+    assert got == want
+
+
+def test_no_seeds_empty_result(spark):
+    df = edges_df(spark, [(0, 1)])
+    dists, info = shortest_paths(df, _seeds_df(spark, []))
+    assert dists.count() == 0 and info.converged
