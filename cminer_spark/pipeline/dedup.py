@@ -231,3 +231,98 @@ def simhash(
     for b in range(bits):
         out = out + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
     return votes.select("doc_id", out.alias("simhash"))
+
+
+def verified_duplicate_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """LSH candidates verified by EXACT shingle Jaccard:
+    ``(a, b, jaccard ≥ threshold)``.
+
+    The quadratic all-pairs step never happens — exact Jaccard is an
+    ``array_intersect`` over the two shingle arrays of CANDIDATE pairs
+    only (LSH bounds the pair volume; per-doc shingle arrays ride the
+    join instead of a re-exploded shingle⋈shingle shuffle).
+    """
+    cand = minhash_lsh_candidates(
+        docs, num_hashes, bands, n, id_col, text_col, hash_family
+    ).select("a", "b")
+    arr = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("shs")
+    )
+    a = arr.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa"))
+    b = arr.select(F.col("doc_id").alias("b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    # candidates always have non-empty shingle sets (an empty set
+    # yields no MinHash row, hence no candidate), so the union size
+    # below is ≥ 1 — no ANSI divide-by-zero
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(a, "a")
+        .join(b, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+    include_exact: bool = True,
+    cc_rounds: int = 4,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering:
+    ``(doc_id, cluster_id, is_canonical)`` for EVERY input document
+    (singletons cluster with themselves).
+
+    Pipeline: MinHash-LSH candidates → exact-Jaccard verification
+    (:func:`verified_duplicate_pairs`) → optional exact-duplicate
+    star edges (each doc linked to its text-hash group minimum — O(n)
+    edges even for a billion-copy group, never a pairwise explosion;
+    this also catches texts too short to shingle) → fixed-round
+    hash-min connected components over the duplicate graph. The
+    cluster id is the component label (the minimum doc id once
+    ``cc_rounds`` covers the cluster diameter — near-dup clusters are
+    dense, so a handful of rounds suffices and the unrolled SQL gate
+    mirrors the same round count); the canonical document is the one
+    whose id equals its cluster id.
+    """
+    from cminer_spark.operators.components import hashmin_components
+
+    pair_e = verified_duplicate_pairs(
+        docs, threshold, num_hashes, bands, n, id_col, text_col, hash_family
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if include_exact:
+        eh = docs.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
+        )
+        reps = eh.groupBy("h").agg(F.min("doc_id").alias("rep"))
+        exact_e = (
+            eh.join(reps, "h")
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+        )
+        pair_e = pair_e.union(exact_e)
+    comp = hashmin_components(
+        pair_e,
+        rounds=cc_rounds,
+        vertices=docs.select(F.col(id_col).alias("v_id")),
+    )
+    return comp.select(
+        F.col("v_id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("v_id") == F.col("component")).alias("is_canonical"),
+    )
