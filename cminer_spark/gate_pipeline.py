@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cminer_spark.pipeline import (
     brute_force_cosine_topk,
+    dedup_clusters,
     lsh_bucketed_topk,
     exact_duplicates,
     doc_fingerprint,
@@ -41,6 +42,7 @@ JACCARD_THRESHOLD = 0.2
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 48
+DEDUP_CC_ROUNDS = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +77,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup_clusters(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        include_exact=True,
+        cc_rounds=DEDUP_CC_ROUNDS,
+    )
+    return out.select("doc_id", "cluster_id", "is_canonical")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +282,9 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= {JACCARD_THRESHOLD}
 """
 
 
-def minhash_lsh_oracle_sql() -> str:
+def _lsh_ctes() -> str:
+    """Shared CTE chain shingles→signatures→bands→band rows (DuckDB),
+    mirroring :func:`minhash_signatures` + banding with the md5 family."""
     hashes = ", ".join(
         f"min(md5('{i}|' || s)) AS h{i}" for i in range(MINHASH_HASHES)
     )
@@ -285,17 +301,85 @@ def minhash_lsh_oracle_sql() -> str:
         f"SELECT doc_id, {bi} AS band_idx, band{bi} AS band_hash FROM banded"
         for bi in range(MINHASH_BANDS)
     )
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sigs AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
 banded AS (SELECT doc_id, {bands} FROM sigs),
-bandrows AS ({band_rows})
+bandrows AS ({band_rows})"""
+
+
+def minhash_lsh_oracle_sql() -> str:
+    return f"""
+WITH {_lsh_ctes()}
 SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
 FROM bandrows x JOIN bandrows y
   ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
 WHERE x.doc_id < y.doc_id
 GROUP BY x.doc_id, y.doc_id
 """
+
+
+def dedup_clusters_oracle_sql(
+    threshold: float, cc_rounds: int
+) -> str:
+    """LSH candidates → exact-Jaccard verification → exact-duplicate
+    star edges → ``cc_rounds`` unrolled hash-min components (same
+    fixed-round grain as the Spark side, so results match exactly)."""
+    parts = [
+        f"""
+WITH {_lsh_ctes()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandrows x JOIN bandrows y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+ver AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= {threshold}
+),
+star AS (
+  SELECT r.rep AS a, d.doc_id AS b
+  FROM documents d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS rep
+        FROM documents GROUP BY md5(text)) r
+    ON md5(d.text) = r.h
+  WHERE d.doc_id <> r.rep
+),
+alle AS (SELECT a, b FROM ver UNION SELECT a, b FROM star),
+sym AS (
+  SELECT a AS u, b AS v FROM alle WHERE a <> b
+  UNION
+  SELECT b AS u, a AS v FROM alle WHERE a <> b
+),
+verts AS (SELECT doc_id AS v FROM documents),
+l0 AS (SELECT v AS v_id, v AS component FROM verts)"""
+    ]
+    for i in range(1, cc_rounds + 1):
+        parts.append(
+            f""",
+mn{i} AS (SELECT s.v AS v_id, min(x.component) AS m
+          FROM sym s JOIN l{i-1} x ON s.u = x.v_id GROUP BY s.v),
+l{i} AS (SELECT l.v_id, least(l.component, coalesce(mn.m, l.component)) AS component
+         FROM l{i-1} l LEFT JOIN mn{i} mn ON l.v_id = mn.v_id)"""
+        )
+    parts.append(
+        f"""
+SELECT v_id AS doc_id, component AS cluster_id,
+       v_id = component AS is_canonical
+FROM l{cc_rounds}"""
+    )
+    return "".join(parts)
 
 
 def simhash_oracle_sql() -> str:
@@ -631,6 +715,7 @@ def queries():
         "ngram_jaccard_dups": q_ngram_jaccard,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash48": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -650,6 +735,9 @@ def oracles():
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "minhash_lsh_candidates": minhash_lsh_oracle_sql(),
         "simhash48": simhash_oracle_sql(),
+        "dedup_clusters": dedup_clusters_oracle_sql(
+            JACCARD_THRESHOLD, DEDUP_CC_ROUNDS
+        ),
         "ann_cosine_topk": ann_topk_oracle_sql(),
         "ann_lsh_topk": ann_lsh_oracle_sql(),
         "ann_ivf_topk": ann_ivf_oracle_sql(),

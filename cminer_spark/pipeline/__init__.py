@@ -1,9 +1,11 @@
 from cminer_spark.pipeline.dedup import (
+    dedup_clusters,
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    verified_duplicate_pairs,
 )
 from cminer_spark.pipeline.similarity import (
     brute_force_cosine_topk,
@@ -21,11 +23,13 @@ from cminer_spark.pipeline.textstats import (
 )
 
 __all__ = [
+    "dedup_clusters",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash",
+    "verified_duplicate_pairs",
     "brute_force_cosine_topk",
     "cosine_near_duplicates",
     "ivf_topk",
