@@ -152,6 +152,21 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clustering (near-dup pairs transitively closed by
+    fixed-round hash-min components) under the oracle gate."""
+    from cminer_spark.pipeline.similarity import embedding_dedup_clusters
+
+    out = embedding_dedup_clusters(
+        _embs(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        dim=ANN_DIM,
+        n_planes=ANN_LSH_PLANES,
+        cc_rounds=DEDUP_CC_ROUNDS,
+    )
+    return out.select("vec_id", "cluster_id", "is_canonical")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal Arrow kernel end-to-end on driver data: documents →
     deterministic binary payloads → mapInPandas feature extraction.
@@ -674,6 +689,38 @@ FROM t
 """
 
 
+def embedding_clusters_oracle_sql(cc_rounds: int) -> str:
+    """Near-dup pair query (nested CTE) + ``cc_rounds`` unrolled
+    hash-min components over all embedding ids — the exact fixed-round
+    grain of the Spark side."""
+    parts = [
+        f"""
+WITH pairs AS MATERIALIZED ({neardup_oracle_sql()}),
+sym AS (
+  SELECT a AS u, b AS v FROM pairs WHERE a <> b
+  UNION
+  SELECT b AS u, a AS v FROM pairs WHERE a <> b
+),
+verts AS (SELECT vec_id AS v FROM embeddings),
+l0 AS (SELECT v AS v_id, v AS component FROM verts)"""
+    ]
+    for i in range(1, cc_rounds + 1):
+        parts.append(
+            f""",
+mn{i} AS (SELECT s.v AS v_id, min(x.component) AS m
+          FROM sym s JOIN l{i-1} x ON s.u = x.v_id GROUP BY s.v),
+l{i} AS (SELECT l.v_id, least(l.component, coalesce(mn.m, l.component)) AS component
+         FROM l{i-1} l LEFT JOIN mn{i} mn ON l.v_id = mn.v_id)"""
+        )
+    parts.append(
+        f"""
+SELECT v_id AS vec_id, component AS cluster_id,
+       v_id = component AS is_canonical
+FROM l{cc_rounds}"""
+    )
+    return "".join(parts)
+
+
 def language_id_oracle_sql() -> str:
     from cminer_spark.pipeline.textstats import LANG_MARKERS
 
@@ -720,6 +767,7 @@ def queries():
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
+        "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "token_counts": q_token_counts,
@@ -742,6 +790,7 @@ def oracles():
         "ann_lsh_topk": ann_lsh_oracle_sql(),
         "ann_ivf_topk": ann_ivf_oracle_sql(),
         "cosine_near_dups": neardup_oracle_sql(),
+        "embedding_clusters": embedding_clusters_oracle_sql(DEDUP_CC_ROUNDS),
         "media_features": MEDIA_FEATURES_SQL,
         "frame_sample": FRAME_SAMPLE_SQL,
         "token_counts": TOKEN_COUNTS_SQL,

@@ -10,6 +10,7 @@ from cminer_spark.pipeline.dedup import (
 from cminer_spark.pipeline.similarity import (
     brute_force_cosine_topk,
     cosine_near_duplicates,
+    embedding_dedup_clusters,
     ivf_topk,
     ivf_train_centroids,
     lsh_bucketed_topk,
@@ -32,6 +33,7 @@ __all__ = [
     "verified_duplicate_pairs",
     "brute_force_cosine_topk",
     "cosine_near_duplicates",
+    "embedding_dedup_clusters",
     "ivf_topk",
     "ivf_train_centroids",
     "lsh_bucketed_topk",

@@ -389,3 +389,40 @@ def cosine_near_duplicates(
         .where(F.round(F.col("cosine"), 9) >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cc_rounds: int = 4,
+) -> DataFrame:
+    """Semantic (embedding-cosine) dedup clustering:
+    ``(vec_id, cluster_id, is_canonical)`` for EVERY input vector.
+
+    The pair graph is :func:`cosine_near_duplicates` (LSH-bucketed,
+    never all-pairs — the 100 TB path), closed transitively by
+    fixed-round hash-min connected components; cluster id is the
+    component minimum, the canonical vector is the one equal to its
+    cluster id. Near-dup clusters are dense (diameter ≈ 2-3), so a
+    handful of rounds converges; the fixed round count keeps the
+    DuckDB gate oracle exactly unrollable.
+    """
+    from cminer_spark.operators.components import hashmin_components
+
+    pairs = cosine_near_duplicates(
+        embeddings, threshold, dim, n_planes, id_col, vec_col
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = hashmin_components(
+        pairs,
+        rounds=cc_rounds,
+        vertices=embeddings.select(F.col(id_col).alias("v_id")),
+    )
+    return comp.select(
+        F.col("v_id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("v_id") == F.col("component")).alias("is_canonical"),
+    )

@@ -240,3 +240,40 @@ def test_cosine_near_duplicates_recall_quantified(spark):
     assert got <= want  # no false positives (exact re-check inside)
     recall = len(got & want) / len(want)
     assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_embedding_dedup_clusters_transitive(spark):
+    """Planted chains a~b~c (each consecutive pair above threshold)
+    must land in ONE cluster rooted at the minimum id; unrelated
+    vectors stay singleton canonicals."""
+    import numpy as np
+
+    from cminer_spark.pipeline.similarity import embedding_dedup_clusters
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(5):
+        v = rng.normal(size=64)
+        # chain: id g*10, g*10+1, g*10+2 — consecutive cosines ~0.99
+        for j in range(3):
+            vv = v + rng.normal(scale=0.05, size=64) * j
+            rows.append((g * 10 + j, [float(x) for x in vv]))
+    for s in range(5):  # singletons
+        rows.append((900 + s, [float(x) for x in rng.normal(size=64)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {
+        r.vec_id: (r.cluster_id, r.is_canonical)
+        for r in embedding_dedup_clusters(
+            embs, threshold=0.97, n_planes=2, cc_rounds=4
+        ).collect()
+    }
+    assert len(out) == len(rows)  # every vector clustered
+    for g in range(5):
+        root = g * 10
+        assert out[root] == (root, True)
+        for j in (1, 2):
+            got_cluster, got_canon = out[root + j]
+            assert got_cluster == root and not got_canon
+    for s in range(5):
+        assert out[900 + s] == (900 + s, True)
