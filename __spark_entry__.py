@@ -174,6 +174,45 @@ def _q_clustering_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.stats import graph_summary
+
+    return graph_summary(gate.gate_edges_df(spark, sf_dir))
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.stats import degree_histogram
+
+    return degree_histogram(gate.gate_edges_df(spark, sf_dir))
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.stats import degree_assortativity
+
+    return degree_assortativity(gate.gate_edges_df(spark, sf_dir)).select(
+        "m", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic closeness from the tool-hub vertices —
+    tagged multi-source BFS rolled up per vertex."""
+    from cminer_spark.operators.paths import harmonic_closeness
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    landmarks = (
+        edges.where(F.col("type") == "invokes")
+        .select(F.col("dst").alias("v_id"))
+        .distinct()
+    )
+    cl, _info = harmonic_closeness(
+        edges, landmarks, directed=False, max_rounds=gate.BFS_ROUNDS
+    )
+    return cl.select(
+        "v_id", "n_reached", F.round("closeness", 6).alias("closeness")
+    )
+
+
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
@@ -458,6 +497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_local": _q_clustering_local,
         "clustering_global": _q_clustering_global,
         "bfs_dist_tools": _q_bfs_dist,
+        "closeness_landmarks": _q_closeness,
+        "graph_summary": _q_graph_summary,
+        "degree_histogram": _q_degree_histogram,
+        "assortativity_out_in": _q_assortativity,
         "connected_components_k10": _q_cc,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
@@ -491,6 +534,10 @@ def oracle_sql() -> dict[str, str]:
         "clustering_local": gate.clustering_local_oracle_sql(),
         "clustering_global": gate.clustering_global_oracle_sql(),
         "bfs_dist_tools": gate.bfs_dist_oracle_sql(),
+        "closeness_landmarks": gate.closeness_oracle_sql(),
+        "graph_summary": gate.graph_summary_oracle_sql(),
+        "degree_histogram": gate.degree_histogram_oracle_sql(),
+        "assortativity_out_in": gate.assortativity_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),

@@ -588,6 +588,122 @@ LEFT JOIN ind  i ON v.v = i.v_id"""
     )
 
 
+DEGREES_CTES = """,
+outd AS (SELECT src AS v_id, count(*) AS out_deg FROM edges GROUP BY src),
+ind  AS (SELECT dst AS v_id, count(*) AS in_deg  FROM edges GROUP BY dst),
+alldeg AS (SELECT v.v AS v_id,
+                  coalesce(o.out_deg, 0) AS out_deg,
+                  coalesce(i.in_deg, 0)  AS in_deg,
+                  coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS tot_deg
+           FROM verts v
+           LEFT JOIN outd o ON v.v = o.v_id
+           LEFT JOIN ind  i ON v.v = i.v_id)
+"""
+
+
+def graph_summary_oracle_sql() -> str:
+    """One-row summary — integer sufficient statistics + one final
+    double expression per derived column, matching
+    :func:`cminer_spark.operators.stats.graph_summary` bit-for-bit."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """,
+rowstats AS (SELECT count(*) AS n_edges,
+                    CAST(coalesce(sum(CASE WHEN src = dst THEN 1 ELSE 0 END), 0)
+                         AS BIGINT) AS n_self_loops
+             FROM edges),
+nv AS (SELECT count(DISTINCT v) AS n_vertices FROM verts),
+pd AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+up AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+              count(*) AS dirs
+       FROM pd GROUP BY least(src, dst), greatest(src, dst)),
+ps AS (SELECT CAST(coalesce(sum(dirs), 0) AS BIGINT) AS n_pairs,
+              CAST(coalesce(sum(CASE WHEN dirs = 2 THEN 2 ELSE 0 END), 0)
+                   AS BIGINT) AS n_reciprocal
+       FROM up)
+SELECT n_vertices, n_edges, n_self_loops, n_pairs, n_reciprocal,
+       CASE WHEN n_pairs > 0
+            THEN n_reciprocal / CAST(n_pairs AS DOUBLE) ELSE 0.0 END
+         AS reciprocity,
+       CASE WHEN n_vertices > 1
+            THEN n_pairs / (CAST(n_vertices AS DOUBLE)
+                            * (CAST(n_vertices AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS density
+FROM rowstats, nv, ps"""
+    )
+
+
+def degree_histogram_oracle_sql() -> str:
+    return _materialize(
+        f"WITH {EDGES_CTE}{DEGREES_CTES}"
+        """
+SELECT CAST(tot_deg AS BIGINT) AS tot_deg, count(*) AS n_vertices
+FROM alldeg GROUP BY tot_deg"""
+    )
+
+
+def assortativity_oracle_sql() -> str:
+    """Directed out–in Pearson r from six integer moment sums with one
+    closed-form double expression — matches
+    :func:`cminer_spark.operators.stats.degree_assortativity` (gate
+    compares ``round(r, 6)``)."""
+    return _materialize(
+        f"WITH {EDGES_CTE}{DEGREES_CTES}"
+        """,
+j AS (SELECT dx.out_deg AS x, dy.in_deg AS y
+      FROM edges e
+      JOIN alldeg dx ON e.src = dx.v_id
+      JOIN alldeg dy ON e.dst = dy.v_id),
+s AS (SELECT count(*) AS m,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM j)
+SELECT m,
+       CASE WHEN m > 0 AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+            THEN round((m * sxy - sx * sy)
+                       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                              * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+       END AS assortativity
+FROM s"""
+    )
+
+
+def closeness_oracle_sql(k: int = BFS_ROUNDS) -> str:
+    """k rounds of landmark-tagged BFS from the tool-hub vertices,
+    rolled up to harmonic closeness — matches
+    :func:`cminer_spark.operators.paths.harmonic_closeness` with the
+    same landmark set and ``max_rounds=k`` (compared on
+    ``round(closeness, 6)``: each group sums ≤7 doubles, so
+    engine-order noise is ~1e-16 against a 1e-6 grid)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+seeds AS (SELECT DISTINCT dst AS v FROM edges WHERE type = 'invokes'),
+d0 AS (SELECT v AS lm, v, CAST(0 AS BIGINT) AS dist FROM seeds)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+rx{i} AS (SELECT d.lm, s.v AS v, d.dist + 1 AS dist
+          FROM d{i-1} d JOIN sym s ON d.v = s.u),
+d{i} AS (SELECT lm, v, min(dist) AS dist
+         FROM (SELECT * FROM d{i-1} UNION ALL SELECT * FROM rx{i}) t
+         GROUP BY lm, v)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS v_id,
+       CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+       round(coalesce(sum(CASE WHEN dist > 0
+                               THEN CAST(1 AS DOUBLE) / dist END), 0.0), 6)
+         AS closeness
+FROM d{k} GROUP BY v"""
+    )
+    return _materialize("".join(parts))
+
+
 def degrees_by_type_oracle_sql() -> str:
     return _materialize(
         f"WITH {EDGES_CTE}"

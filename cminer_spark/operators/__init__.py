@@ -9,6 +9,11 @@ from cminer_spark.operators.hits import hits
 from cminer_spark.operators.components import connected_components, hashmin_components
 from cminer_spark.operators.lpa import label_propagation
 from cminer_spark.operators.triangles import triangle_counts
+from cminer_spark.operators.stats import (
+    degree_assortativity,
+    degree_histogram,
+    graph_summary,
+)
 
 __all__ = [
     "extract_edges",
@@ -24,4 +29,7 @@ __all__ = [
     "hashmin_components",
     "label_propagation",
     "triangle_counts",
+    "graph_summary",
+    "degree_histogram",
+    "degree_assortativity",
 ]

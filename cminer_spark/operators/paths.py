@@ -165,3 +165,128 @@ def shortest_paths(
         result = truncate_lineage(result)
         store.close()
     return result, info
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, PathInfo]:
+    """Hop distances from EACH landmark: ``(lm, v_id, dist)`` for every
+    reached (landmark, vertex) pair — the tagged multi-source BFS
+    underneath landmark centrality estimates.
+
+    Same superstep discipline as :func:`shortest_paths`, with the
+    state keyed on the composite ``(lm, v_id)``: the adjacency is
+    partitioned once on the relax key and persisted; each round
+    shuffles only the frontier; the improved count rides the state
+    write via ``observe()`` (one job per round). State size is
+    |landmarks| × |reached| — the landmark set is meant to be small
+    (tens to hundreds), which is exactly the landmark-centrality
+    trade-off: full closeness is |V| BFS runs, landmarks make it
+    |L| tagged copies of one BFS.
+
+    With ``max_rounds=k`` and no convergence the result is exact over
+    ≤k-edge paths (the unrolled SQL gate mirrors that prefix).
+    """
+    spark = edges.sparkSession
+    info = PathInfo(weighted=False)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = e.distinct()
+    n_adj = adj.count()
+    iter_parts = min(shuffle_parts, max(1, -(-n_adj // 250_000)))
+    adj = adj.repartition(iter_parts, "u").persist()
+
+    state = (
+        landmarks.select("v_id")
+        .distinct()
+        .select(
+            F.col("v_id").alias("lm"),
+            "v_id",
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    frontier = truncate_lineage(state)
+    state = frontier
+    store = EphemeralStateStore(spark, "landmark_bfs")
+
+    for rnd in range(1, max_rounds + 1):
+        cand = (
+            adj.join(
+                frontier.select(
+                    "lm", F.col("v_id").alias("u"), F.col("dist").alias("du")
+                ).hint("shuffle_hash"),
+                "u",
+            )
+            .select("lm", F.col("v").alias("v_id"), (F.col("du") + 1).alias("nd"))
+            .groupBy("lm", "v_id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = state.join(cand.hint("shuffle_hash"), ["lm", "v_id"], "full_outer").select(
+            "lm",
+            "v_id",
+            F.least(
+                F.coalesce("dist", F.col("nd")), F.coalesce("nd", F.col("dist"))
+            ).alias("dist"),
+            (
+                F.col("dist").isNull()
+                | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+            ).alias("_imp"),
+        )
+        obs = Observation(f"lmbfs_imp_{rnd}")
+        to_save = merged.observe(
+            obs, F.sum(F.col("_imp").cast("long")).alias("imp")
+        ).select("lm", "v_id", "dist", "_imp")
+        saved = store.save(to_save, rnd)
+        improved = int(obs.get["imp"] or 0)
+        info.rounds = rnd
+        info.improved.append(improved)
+        state = saved.select("lm", "v_id", "dist")
+        frontier = saved.where(F.col("_imp")).select("lm", "v_id", "dist")
+        if improved == 0:
+            info.converged = True
+            break
+
+    adj.unpersist()
+    result = state
+    if info.rounds > 0:
+        result = truncate_lineage(result)
+        store.close()
+    return result, info
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, PathInfo]:
+    """Landmark harmonic centrality: for each vertex,
+    ``closeness = Σ_{lm reached, lm≠v} 1/dist(lm, v)`` and
+    ``n_reached`` the number of contributing landmarks.
+
+    With the landmark set = ALL vertices this is exact harmonic
+    centrality (Boldi–Vigna); with a small deterministic landmark set
+    it is the standard scale approximation — |L| tagged BFS copies
+    instead of |V| runs. Harmonic (not classic 1/Σd) so disconnected
+    vertices are well-defined without special-casing.
+
+    Returns ``(df(v_id, n_reached, closeness), info)`` over reached
+    vertices only.
+    """
+    dists, info = landmark_distances(
+        edges, landmarks, directed=directed, max_rounds=max_rounds
+    )
+    out = dists.groupBy("v_id").agg(
+        F.sum((F.col("dist") > 0).cast("long")).alias("n_reached"),
+        F.coalesce(
+            F.sum(F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist"))),
+            F.lit(0.0),
+        ).alias("closeness"),
+    )
+    return out, info

@@ -1,0 +1,169 @@
+"""Whole-graph summary statistics: size, density, reciprocity,
+degree histogram, degree assortativity.
+
+The reference keeps per-graph metadata as driver-side counters
+(``/root/reference/src/Graph/Graph.py:225-288`` exposes degree
+aggregates; ``src/CMiner/CMiner.py:174-227`` consumes graph-level
+counts for support) — here the same numbers are distributed
+aggregates over the edge table.
+
+Determinism design (these feed hash-compared oracle gates): every
+statistic is assembled from INTEGER sufficient statistics (counts and
+sums of ``bigint`` degrees — exact in any aggregation order on both
+Spark and DuckDB) with at most one final double expression per output
+column, so values are bit-identical across engines rather than
+"close".
+
+Scale design: one shuffle per independent grain —
+
+* ``graph_summary``: a distinct-pair aggregate (the only required
+  dedup shuffle; reciprocity rides the same ``(lo, hi)`` grouping as
+  a direction count, so NO self-join of the pair table) plus a
+  distinct-vertex count; everything else folds into those two maps.
+* ``degree_histogram`` / ``degree_assortativity``: the per-vertex
+  degree aggregate, then a re-aggregate to histogram buckets /
+  six scalar moment sums. The assortativity edge join broadcasts
+  nothing and shuffles the (already per-vertex) degree table twice —
+  the same plan shape as one PageRank superstep, so it survives the
+  same scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cminer_spark.operators.graph import degrees
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row graph summary.
+
+    Columns::
+
+        n_vertices        distinct endpoints
+        n_edges           multigraph edge rows
+        n_self_loops      rows with src = dst
+        n_pairs           distinct ordered (src, dst) pairs, loops out
+        n_reciprocal      ordered non-loop pairs whose reverse exists
+        reciprocity       n_reciprocal / n_pairs          (0 if empty)
+        density           n_pairs / (n_vertices·(n_vertices-1))
+
+    Reciprocity follows the simple-digraph convention (networkx
+    ``overall_reciprocity`` restricted to non-loop edges): a mutual
+    (u,v)/(v,u) pair contributes 2 to ``n_reciprocal``.
+
+    Plan: the non-loop distinct pairs are grouped once on the
+    unordered ``(lo, hi)`` key counting directions present (1 or 2) —
+    reciprocity without joining the pair table to itself.
+    """
+    row_stats = edges.select(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self_loops"),
+    )
+    n_verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .agg(F.countDistinct("v").alias("n_vertices"))
+    )
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src"), F.col("dst"))
+        .distinct()
+        .groupBy(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .agg(F.count(F.lit(1)).alias("dirs"))
+        .agg(
+            F.coalesce(F.sum("dirs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("dirs") == 2, F.lit(2)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("n_reciprocal"),
+        )
+    )
+    return (
+        row_stats.crossJoin(n_verts)
+        .crossJoin(und)
+        .select(
+            "n_vertices",
+            "n_edges",
+            F.coalesce("n_self_loops", F.lit(0)).alias("n_self_loops"),
+            "n_pairs",
+            "n_reciprocal",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("n_reciprocal") / F.col("n_pairs").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("reciprocity"),
+            F.when(
+                F.col("n_vertices") > 1,
+                F.col("n_pairs")
+                / (
+                    F.col("n_vertices").cast("double")
+                    * (F.col("n_vertices").cast("double") - 1.0)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("density"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """``(tot_deg, n_vertices)`` — how many vertices carry each total
+    (in+out, multigraph) degree. Two aggregates: per-vertex degrees,
+    then a tiny re-aggregate on the degree value."""
+    return (
+        degrees(edges)
+        .groupBy("tot_deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Directed out–in degree assortativity (Newman 2002 Pearson r):
+    over multigraph edge rows (u, v), the correlation of
+    ``x = out_deg(u)`` with ``y = in_deg(v)``.
+
+    Returns one row ``(m, assortativity)`` with ``m`` the edge count.
+    ``r`` is computed from six integer sums (m, Σx, Σy, Σxy, Σx²,
+    Σy²) in a single closed-form double expression — deterministic
+    across engines. The moment sums are carried as ``decimal(38,0)``
+    (exact to 10³⁸, matching DuckDB's 128-bit HUGEINT sums) so the
+    Σx² · m products cannot silently wrap int64 on skewed 10¹²-edge
+    graphs; a graph pathological enough to exceed 10³⁸ yields NULL,
+    never garbage.
+
+    networkx parity: ``nx.degree_assortativity_coefficient(g,
+    x="out", y="in")`` on a simple digraph.
+    """
+    deg = degrees(edges)
+    out_d = deg.select(F.col("v_id").alias("src"), F.col("out_deg").alias("x"))
+    in_d = deg.select(F.col("v_id").alias("dst"), F.col("in_deg").alias("y"))
+    joined = edges.select("src", "dst").join(out_d, "src").join(in_d, "dst")
+
+    def dec(c):  # exact 128-bit-class integer accumulation
+        return c.cast("decimal(38,0)")
+
+    s = joined.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    md = dec(F.col("m"))
+    num = md * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = md * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = md * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "m",
+        F.when(
+            (F.col("m") > 0) & (varx > 0) & (vary > 0),
+            num.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")),
+        ).alias("assortativity"),
+    )

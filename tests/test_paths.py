@@ -120,3 +120,69 @@ def test_no_seeds_empty_result(spark):
     df = edges_df(spark, [(0, 1)])
     dists, info = shortest_paths(df, _seeds_df(spark, []))
     assert dists.count() == 0 and info.converged
+
+
+# ----------------------------------------------------------------------
+# landmark distances / harmonic closeness
+# ----------------------------------------------------------------------
+
+def test_landmark_distances_parity(spark):
+    from cminer_spark.operators.paths import landmark_distances
+
+    rng = random.Random(17)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    lms = [0, 5, 9]
+    df = edges_df(spark, pairs)
+    dists, info = landmark_distances(df, _seeds_df(spark, lms), directed=False)
+    assert info.converged
+    got = {(r.lm, r.v_id): r.dist for r in dists.collect()}
+    g = _nx_graph(pairs, directed=False, weighted=False)
+    for lm in lms:
+        g.add_node(lm)
+        want = nx.single_source_shortest_path_length(g, lm)
+        for v, d in want.items():
+            assert got[(lm, v)] == d, (lm, v)
+    assert len(got) == sum(
+        len(nx.single_source_shortest_path_length(g, lm)) for lm in lms
+    )
+
+
+def test_harmonic_closeness_parity(spark):
+    from cminer_spark.operators.paths import harmonic_closeness
+
+    rng = random.Random(29)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    lms = [1, 2, 3, 4]
+    df = edges_df(spark, pairs)
+    cl, info = harmonic_closeness(df, _seeds_df(spark, lms), directed=False)
+    assert info.converged
+    got = {r.v_id: (r.n_reached, r.closeness) for r in cl.collect()}
+    g = _nx_graph(pairs, directed=False, weighted=False)
+    for lm in lms:
+        g.add_node(lm)
+    want: dict[int, tuple[int, float]] = {}
+    for lm in lms:
+        for v, d in nx.single_source_shortest_path_length(g, lm).items():
+            n, s = want.get(v, (0, 0.0))
+            if d > 0:
+                want[v] = (n + 1, s + 1.0 / d)
+            else:
+                want.setdefault(v, (n, s))
+    assert set(got) == set(want)
+    for v, (n, s) in want.items():
+        assert got[v][0] == n, v
+        assert math.isclose(got[v][1], s, abs_tol=1e-9), v
+
+
+def test_landmark_fixed_rounds_prefix(spark):
+    from cminer_spark.operators.paths import landmark_distances
+
+    # chain 0-1-2-3-4-5, landmark 0, k=2 → only hops ≤2 reached
+    pairs = [(i, i + 1) for i in range(5)]
+    df = edges_df(spark, pairs)
+    dists, info = landmark_distances(
+        df, _seeds_df(spark, [0]), directed=False, max_rounds=2
+    )
+    assert not info.converged and info.rounds == 2
+    got = {r.v_id: r.dist for r in dists.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

@@ -1,0 +1,92 @@
+"""Graph summary statistics vs networkx / hand counts (SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import networkx as nx
+
+from cminer_spark.operators.stats import (
+    degree_assortativity,
+    degree_histogram,
+    graph_summary,
+)
+
+from tests.conftest import edges_df
+
+
+def _rand_digraph(n=40, m=160, seed=7):
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            pairs.add((u, v))
+    return sorted(pairs)
+
+
+def test_summary_matches_networkx(spark):
+    pairs = _rand_digraph()
+    g = nx.DiGraph(pairs)
+    row = graph_summary(edges_df(spark, pairs)).collect()[0]
+    assert row.n_vertices == g.number_of_nodes()
+    assert row.n_edges == g.number_of_edges()
+    assert row.n_self_loops == 0
+    assert row.n_pairs == g.number_of_edges()
+    assert math.isclose(row.density, nx.density(g), rel_tol=1e-12)
+    assert math.isclose(row.reciprocity, nx.overall_reciprocity(g), rel_tol=1e-12)
+
+
+def test_summary_multigraph_and_loops(spark):
+    # 0→1 twice, 1→0, 2→2 loop, 3 isolated via 3→4
+    pairs = [(0, 1), (0, 1), (1, 0), (2, 2), (3, 4)]
+    row = graph_summary(edges_df(spark, pairs)).collect()[0]
+    assert row.n_vertices == 5
+    assert row.n_edges == 5
+    assert row.n_self_loops == 1
+    # distinct non-loop ordered pairs: (0,1),(1,0),(3,4)
+    assert row.n_pairs == 3
+    assert row.n_reciprocal == 2
+    assert math.isclose(row.reciprocity, 2 / 3)
+    assert math.isclose(row.density, 3 / (5 * 4))
+
+
+def test_empty_pair_set_no_nulls(spark):
+    row = graph_summary(edges_df(spark, [(1, 1)])).collect()[0]
+    assert row.n_pairs == 0 and row.n_reciprocal == 0
+    assert row.reciprocity == 0.0 and row.density == 0.0
+
+
+def test_degree_histogram(spark):
+    pairs = _rand_digraph(n=30, m=90, seed=11)
+    got = {
+        r.tot_deg: r.n_vertices
+        for r in degree_histogram(edges_df(spark, pairs)).collect()
+    }
+    g = nx.DiGraph(pairs)
+    want: dict[int, int] = {}
+    for _v, d in g.degree():
+        want[d] = want.get(d, 0) + 1
+    assert got == want
+    assert sum(got.values()) == g.number_of_nodes()
+
+
+def test_assortativity_matches_networkx(spark):
+    pairs = _rand_digraph(n=25, m=100, seed=3)
+    g = nx.DiGraph(pairs)
+    row = degree_assortativity(edges_df(spark, pairs)).collect()[0]
+    assert row.m == g.number_of_edges()
+    want = nx.degree_assortativity_coefficient(g, x="out", y="in")
+    assert math.isclose(row.assortativity, want, abs_tol=1e-9), (
+        row.assortativity,
+        want,
+    )
+
+
+def test_assortativity_degenerate_is_null(spark):
+    # perfect k-regular-ish: every x identical → zero variance → NULL
+    pairs = [(i, (i + 1) % 5) for i in range(5)]
+    row = degree_assortativity(edges_df(spark, pairs)).collect()[0]
+    assert row.m == 5
+    assert row.assortativity is None
