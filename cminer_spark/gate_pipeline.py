@@ -42,6 +42,7 @@ JACCARD_THRESHOLD = 0.2
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 48
+SIMHASH_NEARDUP_HAMMING = 2
 DEDUP_CC_ROUNDS = 4
 
 
@@ -77,6 +78,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        _docs(spark, sf_dir),
+        max_hamming=SIMHASH_NEARDUP_HAMMING,
+        bits=SIMHASH_BITS,
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +408,9 @@ FROM l{cc_rounds}"""
     return "".join(parts)
 
 
-def simhash_oracle_sql() -> str:
+def _simhash_ctes() -> str:
+    """Shared CTE chain ending in ``sh(doc_id, simhash)`` — the DuckDB
+    replica of :func:`cminer_spark.pipeline.dedup.simhash`."""
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
@@ -407,15 +420,32 @@ def simhash_oracle_sql() -> str:
         for b in range(SIMHASH_BITS)
     )
     return f"""
-WITH toks AS (
+toks AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok
   FROM documents
 ),
 hashed AS (
   SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h FROM toks
 ),
-votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
-SELECT doc_id, {recon} AS simhash FROM votes
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sh AS (SELECT doc_id, {recon} AS simhash FROM votes)"""
+
+
+def simhash_oracle_sql() -> str:
+    return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM sh"
+
+
+def simhash_neardup_oracle_sql(max_hamming: int = 2) -> str:
+    """Brute-force all-pairs Hamming check over the simhash CTE — the
+    strongest possible oracle for the pigeonhole banding path: any
+    pair the banding misses (recall < 1) or hallucinates shows up as
+    a row diff."""
+    return f"""
+WITH {_simhash_ctes()}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
@@ -762,6 +792,7 @@ def queries():
         "ngram_jaccard_dups": q_ngram_jaccard,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash48": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -783,6 +814,7 @@ def oracles():
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "minhash_lsh_candidates": minhash_lsh_oracle_sql(),
         "simhash48": simhash_oracle_sql(),
+        "simhash_near_dups": simhash_neardup_oracle_sql(SIMHASH_NEARDUP_HAMMING),
         "dedup_clusters": dedup_clusters_oracle_sql(
             JACCARD_THRESHOLD, DEDUP_CC_ROUNDS
         ),

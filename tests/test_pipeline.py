@@ -89,6 +89,53 @@ def test_simhash_near_dup_small_hamming(spark, docs):
     assert ham_near < ham_far
 
 
+def test_simhash_near_dups_banding_equals_brute_force(spark, docs):
+    """Pigeonhole banding must be LOSSLESS at the stated radius: the
+    banded pair set equals the all-pairs Hamming-ball ground truth
+    (recall exactly 1, no hallucinated pairs), for both an even and a
+    non-divisible bits/(d+1) block split."""
+    from cminer_spark.pipeline.dedup import simhash_near_dups
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    for d in (0, 2, 5):  # 48/1, 48/3 even; 48/6 = 8 exact too; use 5→ 6 blocks of 8
+        want = {
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for a in sh
+            for b in sh
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= d
+        }
+        got = {
+            (r.a, r.b, r.hamming)
+            for r in simhash_near_dups(docs, max_hamming=d).collect()
+        }
+        assert got == want, d
+    # planted exact duplicate is hamming 0
+    got0 = {
+        (r.a, r.b)
+        for r in simhash_near_dups(docs, max_hamming=0).collect()
+    }
+    assert (0, 10_000) in got0
+
+
+def test_simhash_near_dups_uneven_blocks(spark, docs):
+    """bits=48, d=4 → 5 blocks of widths 10/10/10/9/9 — the remainder
+    distribution must still cover all 48 bits losslessly."""
+    from cminer_spark.pipeline.dedup import simhash_near_dups
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    want = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 4
+    }
+    got = {
+        (r.a, r.b)
+        for r in simhash_near_dups(docs, max_hamming=4).collect()
+    }
+    assert got == want
+
+
 def test_lsh_ann_recall_vs_brute_force(spark):
     embs = spark.read.parquet(f"{SF}/embeddings.parquet")
     qids = [0, 1, 2]
