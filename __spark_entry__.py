@@ -217,6 +217,17 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (trim + FW-BW coloring) on the
+    cycle-injected truncated gate graph; labels are canonical minimum
+    member ids, so the k-bounded-closure oracle matches exactly."""
+    from cminer_spark.operators.scc import strongly_connected_components
+
+    labels, info = strongly_connected_components(gate.scc_edges_df(spark, sf_dir))
+    assert info.converged, "SCC budget exhausted on gate graph"
+    return labels
+
+
 def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _ = label_propagation(
         gate.gate_edges_df(spark, sf_dir),
@@ -502,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "assortativity_out_in": _q_assortativity,
         "connected_components_k10": _q_cc,
+        "scc": _q_scc,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -539,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": gate.degree_histogram_oracle_sql(),
         "assortativity_out_in": gate.assortativity_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
+        "scc": gate.scc_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),

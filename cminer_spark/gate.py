@@ -588,6 +588,68 @@ LEFT JOIN ind  i ON v.v = i.v_id"""
     )
 
 
+SCC_K = 8
+
+# Gate graph for SCC: conversation chains truncated to turn_idx < 8,
+# with cycle-closing back edges turn_{t-3} -> turn_t at t in {3, 7}
+# (the replies_to chain already provides t -> t-3), so nontrivial
+# SCCs are the 4-turn segments {t-3..t} and everything else —
+# tool sinks, short chains — is a singleton. The truncation bounds
+# every pairwise directed distance by 7, so the k=8 unrolled
+# closure oracle below is the TRUE transitive closure.
+SCC_EDGES_CTE = (
+    TRANSCRIPTS_CTE
+    + """,
+edges8 AS (
+  SELECT user_id * 100000 + turn_idx     AS src,
+         user_id * 100000 + turn_idx - 1 AS dst
+  FROM tr WHERE turn_idx > 0 AND turn_idx < 8
+  UNION ALL
+  SELECT user_id * 100000 + turn_idx - 3 AS src,
+         user_id * 100000 + turn_idx     AS dst
+  FROM tr WHERE turn_idx IN (3, 7)
+  UNION ALL
+  SELECT user_id * 100000 + turn_idx AS src,
+         1000000000 + (event_id % 7) AS dst
+  FROM tr WHERE tool IS NOT NULL AND turn_idx < 8
+)
+"""
+)
+
+
+def scc_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_events(spark, sf_dir)
+    return spark.sql(f"WITH {SCC_EDGES_CTE} SELECT src, dst FROM edges8")
+
+
+def scc_oracle_sql(k: int = SCC_K) -> str:
+    """SCC labels via k-bounded transitive closure: scc(v) =
+    min{u : v →≤k u AND u →≤k v}. Exact on the truncated gate graph
+    (every directed distance ≤ 7 < k), matching
+    :func:`cminer_spark.operators.scc.strongly_connected_components`'s
+    canonical min-member labels."""
+    parts = [
+        f"WITH {SCC_EDGES_CTE}",
+        """,
+vertsS AS (SELECT src AS v FROM edges8 UNION SELECT dst AS v FROM edges8),
+r0 AS (SELECT v AS s, v AS t FROM vertsS)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+r{i} AS (SELECT s, t FROM r{i-1}
+         UNION
+         SELECT r.s, e.dst AS t FROM r{i-1} r JOIN edges8 e ON r.t = e.src)"""
+        )
+    parts.append(
+        f"""
+SELECT a.s AS v_id, min(a.t) AS scc
+FROM r{k} a JOIN r{k} b ON a.t = b.s AND b.t = a.s
+GROUP BY a.s"""
+    )
+    return _materialize("".join(parts))
+
+
 DEGREES_CTES = """,
 outd AS (SELECT src AS v_id, count(*) AS out_deg FROM edges GROUP BY src),
 ind  AS (SELECT dst AS v_id, count(*) AS in_deg  FROM edges GROUP BY dst),

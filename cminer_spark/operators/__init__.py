@@ -8,6 +8,7 @@ from cminer_spark.operators.pagerank import pagerank
 from cminer_spark.operators.hits import hits
 from cminer_spark.operators.components import connected_components, hashmin_components
 from cminer_spark.operators.lpa import label_propagation
+from cminer_spark.operators.scc import strongly_connected_components
 from cminer_spark.operators.triangles import triangle_counts
 from cminer_spark.operators.stats import (
     degree_assortativity,
@@ -27,6 +28,7 @@ __all__ = [
     "hits",
     "connected_components",
     "hashmin_components",
+    "strongly_connected_components",
     "label_propagation",
     "triangle_counts",
     "graph_summary",
