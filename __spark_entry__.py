@@ -217,6 +217,26 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-argmin random walks from every 101st turn
+    vertex — the embedding-corpus generator, replayed exactly by the
+    step-unrolled oracle."""
+    from cminer_spark.operators.walks import random_walks
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .where((F.col("v") % gate.WALK_START_MOD == 0) & (F.col("v") < 1_000_000_000))
+        .select(F.col("v").alias("walk_id"), F.col("v").alias("v_id"))
+    )
+    w = random_walks(edges, starts, walk_length=gate.WALK_LEN, seed=0)
+    return w.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "v_id"
+    )
+
+
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (trim + FW-BW coloring) on the
     cycle-injected truncated gate graph; labels are canonical minimum
@@ -514,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_out_in": _q_assortativity,
         "connected_components_k10": _q_cc,
         "scc": _q_scc,
+        "random_walks": _q_random_walks,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -552,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity_out_in": gate.assortativity_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
         "scc": gate.scc_oracle_sql(),
+        "random_walks": gate.random_walks_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),

@@ -588,6 +588,42 @@ LEFT JOIN ind  i ON v.v = i.v_id"""
     )
 
 
+WALK_LEN = 6
+WALK_START_MOD = 101
+
+
+def random_walks_oracle_sql(k: int = WALK_LEN) -> str:
+    """Step-unrolled replay of the hash-argmin walks — DuckDB picks
+    each step's neighbor by the identical ``md5('0:walk:step:dst')``
+    ranking, so the walks match row-for-row (see
+    :func:`cminer_spark.operators.walks.random_walks`)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""",
+e2 AS (SELECT DISTINCT src AS u, dst AS v FROM edges),
+w0 AS (SELECT v AS walk_id, v AS v_id FROM verts
+       WHERE v % {WALK_START_MOD} = 0 AND v < 1000000000)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+w{i} AS (SELECT walk_id, v_id FROM (
+  SELECT c.walk_id, c.v AS v_id,
+         row_number() OVER (
+           PARTITION BY c.walk_id
+           ORDER BY md5('0:' || CAST(c.walk_id AS VARCHAR)
+                        || ':{i}:' || CAST(c.v AS VARCHAR)), c.v) AS rn
+  FROM (SELECT w.walk_id, e.v FROM w{i-1} w JOIN e2 e ON w.v_id = e.u) c
+) t WHERE rn = 1)"""
+        )
+    selects = [
+        f"SELECT walk_id, CAST({i} AS BIGINT) AS step, v_id FROM w{i}"
+        for i in range(0, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return _materialize("".join(parts))
+
+
 SCC_K = 8
 
 # Gate graph for SCC: conversation chains truncated to turn_idx < 8,
