@@ -217,6 +217,23 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark betweenness from the tool hubs (Brandes forward sigma
+    + backward dependency sweep), k-round truncated like the oracle."""
+    from cminer_spark.operators.paths import landmark_betweenness
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    landmarks = (
+        edges.where(F.col("type") == "invokes")
+        .select(F.col("dst").alias("v_id"))
+        .distinct()
+    )
+    bet, _info = landmark_betweenness(
+        edges, landmarks, directed=False, max_rounds=gate.BETW_ROUNDS
+    )
+    return bet.select("v_id", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-argmin random walks from every 101st turn
     vertex — the embedding-corpus generator, replayed exactly by the
@@ -535,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_k10": _q_cc,
         "scc": _q_scc,
         "random_walks": _q_random_walks,
+        "betweenness_landmarks": _q_betweenness,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -574,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_k10": gate.cc_oracle_sql(),
         "scc": gate.scc_oracle_sql(),
         "random_walks": gate.random_walks_oracle_sql(),
+        "betweenness_landmarks": gate.betweenness_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),

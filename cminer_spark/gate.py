@@ -590,6 +590,73 @@ LEFT JOIN ind  i ON v.v = i.v_id"""
 
 WALK_LEN = 6
 WALK_START_MOD = 101
+BETW_ROUNDS = 4
+
+
+def betweenness_oracle_sql(k: int = BETW_ROUNDS) -> str:
+    """Brandes with landmark sources (tool hubs), unrolled: forward
+    BFS levels carrying σ path counts, then a level-by-level backward
+    dependency sweep over the shortest-path DAG — matches
+    :func:`cminer_spark.operators.paths.landmark_betweenness` with
+    ``max_rounds=k`` (same truncation; compared on
+    ``round(betweenness, 6)``)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+seeds AS (SELECT DISTINCT dst AS v FROM edges WHERE type = 'invokes'),
+vis0 AS (SELECT v AS lm, v AS v_id, CAST(0 AS BIGINT) AS dist,
+                CAST(1 AS BIGINT) AS sigma
+         FROM seeds),
+f0 AS (SELECT * FROM vis0)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+f{i} AS (SELECT c.lm, c.vv AS v_id, CAST({i} AS BIGINT) AS dist,
+                CAST(sum(c.sigma) AS BIGINT) AS sigma
+         FROM (SELECT x.lm AS lm, s.v AS vv, x.sigma AS sigma
+               FROM f{i-1} x JOIN sym s ON x.v_id = s.u) c
+         LEFT JOIN vis{i-1} p ON p.lm = c.lm AND p.v_id = c.vv
+         WHERE p.v_id IS NULL
+         GROUP BY c.lm, c.vv),
+vis{i} AS (SELECT * FROM vis{i-1} UNION ALL SELECT * FROM f{i})"""
+        )
+    parts.append(
+        f""",
+dag AS (SELECT su.lm, su.v_id AS u, sv.v_id AS v,
+               su.sigma AS sig_u, sv.sigma AS sig_v, sv.dist AS dv
+        FROM sym s
+        JOIN vis{k} su ON su.v_id = s.u
+        JOIN vis{k} sv ON sv.v_id = s.v AND sv.lm = su.lm
+                      AND sv.dist = su.dist + 1),
+dl{k} AS (SELECT lm, v_id, CAST(0 AS DOUBLE) AS delta
+          FROM vis{k} WHERE dist = {k})"""
+    )
+    for lvl in range(k - 1, -1, -1):
+        parts.append(
+            f""",
+dl{lvl} AS (SELECT b.lm, b.v_id, coalesce(ct.c, CAST(0 AS DOUBLE)) AS delta
+            FROM (SELECT lm, v_id FROM vis{k} WHERE dist = {lvl}) b
+            LEFT JOIN (SELECT d.lm, d.u AS v_id,
+                              sum(CAST(d.sig_u AS DOUBLE) / d.sig_v
+                                  * (CAST(1 AS DOUBLE) + x.delta)) AS c
+                       FROM dag d
+                       JOIN dl{lvl+1} x ON x.lm = d.lm AND x.v_id = d.v
+                       WHERE d.dv = {lvl + 1}
+                       GROUP BY d.lm, d.u) ct
+              ON ct.lm = b.lm AND ct.v_id = b.v_id)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM dl{lvl}" for lvl in range(0, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT v_id, round(sum(delta), 6) AS betweenness
+FROM ({union}) t
+WHERE v_id <> lm
+GROUP BY v_id"""
+    )
+    return _materialize("".join(parts))
 
 
 def random_walks_oracle_sql(k: int = WALK_LEN) -> str:

@@ -260,6 +260,164 @@ def landmark_distances(
     return result, info
 
 
+def landmark_betweenness(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, PathInfo]:
+    """Landmark-approximated betweenness centrality (Brandes with a
+    restricted source set): ``(v_id, betweenness)`` where
+    ``betweenness(v) = Σ_{lm} δ_lm(v)`` and ``δ`` is Brandes'
+    dependency of landmark ``lm`` on ``v``. With landmarks = ALL
+    vertices this is exact betweenness (un-normalized, each direction
+    counted once on undirected graphs); a small landmark set is the
+    standard |L|/|V|-cost approximation.
+
+    Two phases, both supersteps over the hash-partitioned adjacency:
+
+    1. **Forward** level-synchronous BFS with path counting — the
+       frontier carries ``σ`` (number of shortest paths from the
+       landmark); a vertex discovered at level r sums σ over ALL its
+       level-(r-1) predecessors in one aggregation, which is exactly
+       Brandes' σ recurrence because every shortest-path predecessor
+       sits in the previous frontier.
+    2. **Backward** dependency sweep, one superstep per level from
+       the deepest up: δ(u) = Σ_{v ∈ succ(u)} σ(u)/σ(v)·(1 + δ(v)).
+       All successors of a level-(L-1) vertex live at level L, so
+       each level's δ is finalized in a single join against the
+       shortest-path DAG (materialized once, |L|·|E| worst case —
+       the landmark trade-off, same as :func:`landmark_distances`).
+
+    Unweighted hop distances; ``max_rounds`` truncates the BFS (the
+    result is then betweenness restricted to ≤max_rounds-hop shortest
+    paths — the unrolled SQL gate mirrors the same truncation).
+    """
+    spark = edges.sparkSession
+    info = PathInfo(weighted=False)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.where(F.col("src") != F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = e.distinct()
+    n_adj = adj.count()
+    iter_parts = min(shuffle_parts, max(1, -(-n_adj // 250_000)))
+    adj = adj.repartition(iter_parts, "u").persist()
+
+    visited = (
+        landmarks.select("v_id")
+        .distinct()
+        .select(
+            F.col("v_id").alias("lm"),
+            "v_id",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    visited = truncate_lineage(visited)
+    frontier = visited
+    maxdist = 0
+    for rnd in range(1, max_rounds + 1):
+        cand = (
+            adj.join(
+                frontier.select(
+                    "lm", F.col("v_id").alias("u"), "sigma"
+                ).hint("shuffle_hash"),
+                "u",
+            )
+            .groupBy("lm", F.col("v").alias("v_id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = cand.join(
+            visited.select("lm", "v_id").hint("shuffle_hash"),
+            ["lm", "v_id"],
+            "left_anti",
+        ).select("lm", "v_id", F.lit(rnd).cast("long").alias("dist"), "sigma")
+        obs = Observation(f"betw_fwd_{rnd}")
+        new = truncate_lineage(
+            new.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        n_new = int(obs.get["n"] or 0)
+        info.rounds = rnd
+        info.improved.append(n_new)
+        if n_new == 0:
+            info.converged = True
+            break
+        visited = truncate_lineage(visited.union(new))
+        frontier = new
+        maxdist = rnd
+
+    s_df = visited.persist()
+    u_side = s_df.select(
+        "lm",
+        F.col("v_id").alias("u"),
+        F.col("dist").alias("du"),
+        F.col("sigma").alias("sig_u"),
+    )
+    v_side = s_df.select(
+        "lm",
+        F.col("v_id").alias("v"),
+        F.col("dist").alias("dv"),
+        F.col("sigma").alias("sig_v"),
+    )
+    dag = (
+        adj.join(u_side.hint("shuffle_hash"), "u")
+        .join(v_side.hint("shuffle_hash"), ["lm", "v"])
+        .where(F.col("dv") == F.col("du") + 1)
+        .select("lm", "u", "v", "sig_u", "sig_v", "dv")
+        .persist()
+    )
+    dag.count()
+
+    delta = s_df.where(F.col("dist") == maxdist).select(
+        "lm", "v_id", F.lit(0.0).alias("delta")
+    )
+    delta = truncate_lineage(delta)
+    acc = [delta]
+    for lvl in range(maxdist, 0, -1):
+        contrib = (
+            dag.where(F.col("dv") == lvl)
+            .join(
+                delta.select("lm", F.col("v_id").alias("v"), "delta").hint(
+                    "shuffle_hash"
+                ),
+                ["lm", "v"],
+            )
+            .groupBy("lm", F.col("u").alias("v_id"))
+            .agg(
+                F.sum(
+                    F.col("sig_u").cast("double")
+                    / F.col("sig_v")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("c")
+            )
+        )
+        base = s_df.where(F.col("dist") == lvl - 1).select("lm", "v_id")
+        delta = truncate_lineage(
+            base.join(contrib.hint("shuffle_hash"), ["lm", "v_id"], "left").select(
+                "lm", "v_id", F.coalesce("c", F.lit(0.0)).alias("delta")
+            )
+        )
+        acc.append(delta)
+
+    from functools import reduce
+
+    all_delta = reduce(lambda a, b: a.unionByName(b), acc)
+    bet = (
+        all_delta.where(F.col("v_id") != F.col("lm"))
+        .groupBy("v_id")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    bet = truncate_lineage(bet)
+    dag.unpersist()
+    s_df.unpersist()
+    adj.unpersist()
+    return bet, info
+
+
 def harmonic_closeness(
     edges: DataFrame,
     landmarks: DataFrame,

@@ -186,3 +186,100 @@ def test_landmark_fixed_rounds_prefix(spark):
     assert not info.converged and info.rounds == 2
     got = {r.v_id: r.dist for r in dists.collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+# ----------------------------------------------------------------------
+# landmark betweenness
+# ----------------------------------------------------------------------
+
+def _brandes_replay(pairs, sources, directed):
+    """Driver-side Brandes from the given sources (unweighted)."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    nodes = set()
+    for p in pairs:
+        u, v = p[0], p[1]
+        nodes.update((u, v))
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    bet = {v: 0.0 for v in nodes}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for w in sorted(adj.get(u, ())):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    dq.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for x in adj.get(w, ()):
+                if dist.get(x) == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1 + delta[x])
+            if w != s:
+                bet[w] += delta[w]
+    return bet
+
+
+def test_landmark_betweenness_matches_brandes_subset(spark):
+    from cminer_spark.operators.paths import landmark_betweenness
+
+    rng = random.Random(31)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+    lms = [0, 3, 8]
+    bet, info = landmark_betweenness(
+        edges_df(spark, pairs), _seeds_df(spark, lms), directed=False
+    )
+    assert info.converged
+    got = {r.v_id: r.betweenness for r in bet.collect()}
+    want = _brandes_replay(pairs, lms, directed=False)
+    for v, b in want.items():
+        assert math.isclose(got.get(v, 0.0), b, abs_tol=1e-9), (v, got.get(v), b)
+
+
+def test_full_source_betweenness_matches_networkx(spark):
+    from cminer_spark.operators.paths import landmark_betweenness
+
+    rng = random.Random(47)
+    pairs = list({(rng.randrange(18), rng.randrange(18)) for _ in range(50)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    verts = sorted({v for p in pairs for v in p})
+    for directed, scale in ((True, 1.0), (False, 2.0)):
+        bet, info = landmark_betweenness(
+            edges_df(spark, pairs), _seeds_df(spark, verts), directed=directed
+        )
+        assert info.converged
+        got = {r.v_id: r.betweenness for r in bet.collect()}
+        g = nx.DiGraph(pairs) if directed else nx.Graph(pairs)
+        want = nx.betweenness_centrality(g, normalized=False)
+        # undirected networkx counts each pair once (scale 0.5); the
+        # engine accumulates every source, i.e. each pair twice
+        for v, b in want.items():
+            assert math.isclose(got.get(v, 0.0), scale * b, abs_tol=1e-9), (
+                directed, v, got.get(v), scale * b,
+            )
+
+
+def test_betweenness_path_graph_closed_form(spark):
+    from cminer_spark.operators.paths import landmark_betweenness
+
+    # path 0-1-2-3-4, all sources: interior v has 2·(#pairs through v)
+    pairs = [(i, i + 1) for i in range(4)]
+    bet, _ = landmark_betweenness(
+        edges_df(spark, pairs), _seeds_df(spark, [0, 1, 2, 3, 4]), directed=False
+    )
+    got = {r.v_id: r.betweenness for r in bet.collect()}
+    assert math.isclose(got[2], 2 * 4.0)  # pairs (0,3),(0,4),(1,3),(1,4)
+    assert math.isclose(got[1], 2 * 3.0)
+    assert got.get(0, 0.0) == 0.0
