@@ -217,6 +217,19 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
 
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the k-round LPA partition — integer
+    sufficient statistics, one final double expression."""
+    from cminer_spark.operators.stats import modularity
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    labels, _ = label_propagation(
+        edges, max_rounds=gate.LPA_ROUNDS, stop_when_stable=False
+    )
+    part = labels.select("v_id", F.col("label").alias("community"))
+    return modularity(edges, part).select("m", F.round("q", 6).alias("q"))
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark betweenness from the tool hubs (Brandes forward sigma
     + backward dependency sweep), k-round truncated like the oracle."""
@@ -553,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "random_walks": _q_random_walks,
         "betweenness_landmarks": _q_betweenness,
+        "modularity_lpa": _q_modularity,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -593,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": gate.scc_oracle_sql(),
         "random_walks": gate.random_walks_oracle_sql(),
         "betweenness_landmarks": gate.betweenness_oracle_sql(),
+        "modularity_lpa": gate.modularity_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),

@@ -305,7 +305,10 @@ l{i} AS (SELECT l.v_id, least(l.component, coalesce(mn.m, l.component)) AS compo
     return _materialize("".join(parts))
 
 
-def lpa_oracle_sql(k: int = LPA_ROUNDS) -> str:
+def _lpa_ctes(k: int) -> str:
+    """Unrolled LPA CTE chain ending in ``lab{k}(v_id, label)`` —
+    shared by the LPA gate and the modularity gate (which scores the
+    same partition)."""
     parts = [
         f"WITH {EDGES_CTE}",
         """,
@@ -324,8 +327,48 @@ lab{i} AS (SELECT l.v_id, coalesce(w.label, l.label) AS label
            LEFT JOIN (SELECT v_id, label FROM w{i} WHERE rn = 1) w
              ON l.v_id = w.v_id)"""
         )
-    parts.append(f"\nSELECT v_id, label FROM lab{k}")
-    return _materialize("".join(parts))
+    return "".join(parts)
+
+
+def lpa_oracle_sql(k: int = LPA_ROUNDS) -> str:
+    return _materialize(_lpa_ctes(k) + f"\nSELECT v_id, label FROM lab{k}")
+
+
+def modularity_oracle_sql(k: int = LPA_ROUNDS) -> str:
+    """Newman modularity of the k-round LPA partition — integer
+    intra-edge and squared-degree-sum totals with one closed-form
+    double expression, matching
+    :func:`cminer_spark.operators.stats.modularity` (compared on
+    ``round(q, 6)``)."""
+    return _materialize(
+        _lpa_ctes(k)
+        + f""",
+und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM edges WHERE src <> dst),
+elab AS (SELECT la.label AS c_lo, lb.label AS c_hi
+         FROM und u
+         JOIN lab{k} la ON u.lo = la.v_id
+         JOIN lab{k} lb ON u.hi = lb.v_id),
+am AS (SELECT count(*) AS m,
+              CAST(coalesce(sum(CASE WHEN c_lo = c_hi THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS a
+       FROM elab),
+degs AS (SELECT v, count(*) AS d
+         FROM (SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und) t
+         GROUP BY v),
+dcs AS (SELECT la.label AS c, CAST(sum(d.d) AS HUGEINT) AS dc
+        FROM degs d JOIN lab{k} la ON d.v = la.v_id
+        GROUP BY la.label),
+bstat AS (SELECT CAST(coalesce(sum(dc * dc), 0) AS HUGEINT) AS b FROM dcs)
+SELECT m,
+       CASE WHEN m > 0
+            THEN round(a / CAST(m AS DOUBLE)
+                       - CAST(b AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE)
+                            * CAST(m AS DOUBLE)), 6)
+            ELSE 0.0 END AS q
+FROM am, bstat"""
+    )
 
 
 TRIANGLE_CTES = """,

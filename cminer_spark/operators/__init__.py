@@ -15,6 +15,7 @@ from cminer_spark.operators.stats import (
     degree_assortativity,
     degree_histogram,
     graph_summary,
+    modularity,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "graph_summary",
     "degree_histogram",
     "degree_assortativity",
+    "modularity",
 ]

@@ -122,6 +122,88 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition over the SIMPLE
+    undirected projection (parallel edges collapsed, self-loops
+    dropped): one row ``(m, q)`` with
+    ``q = Σ_c [ in_c/m − (d_c / 2m)² ]``.
+
+    ``labels`` is ``(v_id, community)`` — typically the output of
+    :func:`cminer_spark.operators.lpa.label_propagation` or
+    :func:`cminer_spark.operators.components.connected_components`.
+    Vertices missing from ``labels`` form the implicit community of
+    their own id.
+
+    Determinism: the community sums are folded into two INTEGER
+    totals — ``A = Σ_c in_c`` (intra-community edges) and
+    ``B = Σ_c d_c²`` (squared degree sums, accumulated in
+    decimal(38,0) so a giant community cannot wrap int64) — and
+    ``q = A/m − B/(4m²)`` is one closed-form double expression, so
+    Spark and a SQL oracle agree bit-for-bit. networkx parity:
+    ``nx.algorithms.community.modularity(Graph, parts,
+    weight=None)``.
+
+    Plan shape: the pair dedup shuffle, two label joins against the
+    (broadcast-size or shuffle) label table, a per-community
+    aggregate, and scalar folds — no step wider than one PageRank
+    superstep.
+    """
+    lab = labels.select("v_id", "community")
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+    llo = lab.select(F.col("v_id").alias("lo"), F.col("community").alias("c_lo"))
+    lhi = lab.select(F.col("v_id").alias("hi"), F.col("community").alias("c_hi"))
+    e_lab = (
+        und.join(llo, "lo", "left")
+        .join(lhi, "hi", "left")
+        .select(
+            F.coalesce("c_lo", F.col("lo")).alias("c_lo"),
+            F.coalesce("c_hi", F.col("hi")).alias("c_hi"),
+        )
+    )
+    am = e_lab.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.coalesce(
+            F.sum((F.col("c_lo") == F.col("c_hi")).cast("long")), F.lit(0)
+        ).alias("a"),
+    )
+    deg = (
+        und.select(F.col("lo").alias("v_id"))
+        .union(und.select(F.col("hi").alias("v_id")))
+        .groupBy("v_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(lab, "v_id", "left")
+        .select(F.coalesce("community", F.col("v_id")).alias("c"), "d")
+        .groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("dc").cast("decimal(38,0)")
+                    * F.col("dc").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("b")
+        )
+    )
+    md = F.col("m").cast("double")
+    return am.crossJoin(deg).select(
+        "m",
+        F.when(
+            F.col("m") > 0,
+            F.col("a") / md
+            - F.col("b").cast("double") / (F.lit(4.0) * md * md),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("q"),
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Directed out–in degree assortativity (Newman 2002 Pearson r):
     over multigraph edge rows (u, v), the correlation of

@@ -90,3 +90,56 @@ def test_assortativity_degenerate_is_null(spark):
     row = degree_assortativity(edges_df(spark, pairs)).collect()[0]
     assert row.m == 5
     assert row.assortativity is None
+
+
+def test_modularity_matches_networkx(spark):
+    from cminer_spark.operators.stats import modularity
+    from networkx.algorithms.community import modularity as nx_modularity
+
+    pairs = _rand_digraph(n=30, m=120, seed=19)
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    # partition: vertex id mod 4
+    part_map = {v: v % 4 for v in g.nodes}
+    labels = spark.createDataFrame(
+        [(int(v), int(c)) for v, c in part_map.items()],
+        "v_id long, community long",
+    )
+    row = modularity(edges_df(spark, pairs), labels).collect()[0]
+    comms = [
+        {v for v, c in part_map.items() if c == k}
+        for k in sorted(set(part_map.values()))
+    ]
+    want = nx_modularity(g, comms, weight=None)
+    assert row.m == g.number_of_edges()
+    assert math.isclose(row.q, want, abs_tol=1e-12), (row.q, want)
+
+
+def test_modularity_extremes(spark):
+    from cminer_spark.operators.stats import modularity
+
+    # two disjoint triangles; perfect partition vs all-in-one
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    good = spark.createDataFrame(
+        [(v, v // 10) for v in [0, 1, 2, 10, 11, 12]], "v_id long, community long"
+    )
+    merged = spark.createDataFrame(
+        [(v, 0) for v in [0, 1, 2, 10, 11, 12]], "v_id long, community long"
+    )
+    q_good = modularity(edges_df(spark, pairs), good).collect()[0].q
+    q_merged = modularity(edges_df(spark, pairs), merged).collect()[0].q
+    assert math.isclose(q_good, 0.5)  # 1 - 2*(6/12)^2
+    assert math.isclose(q_merged, 0.0)
+    assert q_good > q_merged
+
+
+def test_modularity_missing_labels_default_to_singletons(spark):
+    from cminer_spark.operators.stats import modularity
+
+    pairs = [(0, 1), (1, 2)]
+    labels = spark.createDataFrame([(0, 7), (1, 7)], "v_id long, community long")
+    row = modularity(edges_df(spark, pairs), labels).collect()[0]
+    # und edges: (0,1) intra (7,7), (1,2) inter (7, 2-as-own)
+    # A=1, m=2, degrees: 0:1,1:2,2:1 → d_7=3, d_2=1 → B=10
+    assert row.m == 2
+    assert math.isclose(row.q, 1 / 2 - 10 / 16)
