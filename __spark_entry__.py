@@ -230,6 +230,33 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, part).select("m", F.round("q", 6).alias("q"))
 
 
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walks (node2vec weights 1:4:2), replica-
+    argmin exact weighted sampling, replayed by the unrolled oracle."""
+    from cminer_spark.operators.walks import node2vec_walks
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .where((F.col("v") % gate.WALK_START_MOD == 0) & (F.col("v") < 1_000_000_000))
+        .select(F.col("v").alias("walk_id"), F.col("v").alias("v_id"))
+    )
+    w = node2vec_walks(
+        edges,
+        starts,
+        walk_length=gate.WALK_LEN,
+        w_return=gate.N2V_WR,
+        w_common=gate.N2V_WC,
+        w_far=gate.N2V_WF,
+        seed=0,
+    )
+    return w.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "v_id"
+    )
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark betweenness from the tool hubs (Brandes forward sigma
     + backward dependency sweep), k-round truncated like the oracle."""
@@ -565,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_k10": _q_cc,
         "scc": _q_scc,
         "random_walks": _q_random_walks,
+        "node2vec_walks": _q_node2vec,
         "betweenness_landmarks": _q_betweenness,
         "modularity_lpa": _q_modularity,
         "lpa_k3": _q_lpa,
@@ -606,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_k10": gate.cc_oracle_sql(),
         "scc": gate.scc_oracle_sql(),
         "random_walks": gate.random_walks_oracle_sql(),
+        "node2vec_walks": gate.node2vec_oracle_sql(),
         "betweenness_landmarks": gate.betweenness_oracle_sql(),
         "modularity_lpa": gate.modularity_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),

@@ -734,6 +734,57 @@ w{i} AS (SELECT walk_id, v_id FROM (
     return _materialize("".join(parts))
 
 
+N2V_WR, N2V_WC, N2V_WF = 1, 4, 2
+
+
+def node2vec_oracle_sql(
+    k: int = WALK_LEN,
+    wr: int = N2V_WR,
+    wc: int = N2V_WC,
+    wf: int = N2V_WF,
+) -> str:
+    """Step-unrolled replay of the second-order biased walks — DuckDB
+    rebuilds the (return / common-neighbor / far) integer weights and
+    the replica-argmin ``md5(seed:walk:step:dst:j)`` choice, so the
+    walks match row-for-row (see
+    :func:`cminer_spark.operators.walks.node2vec_walks`)."""
+    max_w = max(wr, wc, wf)
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""",
+e2 AS (SELECT DISTINCT src AS u, dst AS v FROM edges),
+reps AS (SELECT unnest(range(1, {max_w + 1})) AS j),
+n0 AS (SELECT v AS walk_id, CAST(NULL AS BIGINT) AS prev, v AS v_id
+       FROM verts WHERE v % {WALK_START_MOD} = 0 AND v < 1000000000)""",
+    ]
+    for s in range(1, k + 1):
+        parts.append(
+            f""",
+n{s} AS (SELECT walk_id, prev, v_id FROM (
+  SELECT c.walk_id, c.cur AS prev, c.dst AS v_id,
+         row_number() OVER (
+           PARTITION BY c.walk_id
+           ORDER BY md5('0:' || CAST(c.walk_id AS VARCHAR) || ':{s}:'
+                        || CAST(c.dst AS VARCHAR) || ':'
+                        || CAST(r.j AS VARCHAR)), c.dst, r.j) AS rn
+  FROM (SELECT n.walk_id, n.v_id AS cur, e.v AS dst,
+               CASE WHEN e.v = n.prev THEN {wr}
+                    WHEN cm.v IS NOT NULL THEN {wc}
+                    ELSE {wf} END AS w
+        FROM n{s-1} n
+        JOIN e2 e ON n.v_id = e.u
+        LEFT JOIN e2 cm ON cm.u = n.prev AND cm.v = e.v) c
+  JOIN reps r ON r.j <= c.w
+) t WHERE rn = 1)"""
+        )
+    selects = [
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, v_id FROM n{s}"
+        for s in range(0, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return _materialize("".join(parts))
+
+
 SCC_K = 8
 
 # Gate graph for SCC: conversation chains truncated to turn_idx < 8,
