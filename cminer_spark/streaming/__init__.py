@@ -1,6 +1,7 @@
+from cminer_spark.streaming.dedup_stream import stream_exact_dedup
 from cminer_spark.streaming.edges_stream import (
     stream_edges,
     stream_tool_invocation_counts,
 )
 
-__all__ = ["stream_edges", "stream_tool_invocation_counts"]
+__all__ = ["stream_edges", "stream_tool_invocation_counts", "stream_exact_dedup"]

@@ -133,3 +133,49 @@ def test_stream_edges_gappy_and_redelivered(spark, tmp_path):
     }
     # exactly-once despite the duplicate row: no repeated edge rows
     assert got.count() == len(g)
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Drained streaming dedup must keep exactly one row per distinct
+    text hash, and for cross-micro-batch duplicates the FIRST batch's
+    copy (state suppresses the later arrival)."""
+    import time
+
+    from cminer_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    rows1 = [(1, "alpha beta"), (2, "gamma"), (3, "alpha beta")]
+    rows2 = [(10, "alpha beta"), (11, "delta"), (12, "gamma")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.2)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_out").collect()
+
+    hashes = [r.text_hash for r in got]
+    assert len(hashes) == len(set(hashes)) == 3  # alpha beta / gamma / delta
+    kept = {r.text: r.doc_id for r in got}
+    # cross-batch duplicates suppressed: batch-1 copies win
+    assert kept["alpha beta"] in (1, 3)  # within-batch winner is either copy
+    assert kept["gamma"] == 2
+    assert kept["delta"] == 11
+    # batch twin agrees on the distinct hash set
+    from cminer_spark.pipeline import exact_duplicates
+
+    batch = exact_duplicates(spark.read.parquet(src))
+    assert {r.text_hash for r in batch.collect()} == set(hashes)
