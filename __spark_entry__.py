@@ -257,6 +257,30 @@ def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_neighborhoods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style fixed-fanout neighborhood sampling from every
+    211th turn vertex — hash-ranked, replayed exactly by the oracle."""
+    from cminer_spark.operators.sampling import sample_neighborhoods
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .where(
+            (F.col("v") % gate.SAMPLE_SEED_MOD == 0)
+            & (F.col("v") < 1_000_000_000)
+        )
+        .select(F.col("v").alias("seed_id"), F.col("v").alias("v_id"))
+    )
+    out = sample_neighborhoods(
+        edges, seeds, fanouts=list(gate.SAMPLE_FANOUTS), seed=0, directed=False
+    )
+    return out.select(
+        "seed_id", F.col("hop").cast("long").alias("hop"), "src", "dst"
+    )
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark betweenness from the tool hubs (Brandes forward sigma
     + backward dependency sweep), k-round truncated like the oracle."""
@@ -593,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec,
+        "sample_neighborhoods": _q_sample_neighborhoods,
         "betweenness_landmarks": _q_betweenness,
         "modularity_lpa": _q_modularity,
         "lpa_k3": _q_lpa,
@@ -635,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": gate.scc_oracle_sql(),
         "random_walks": gate.random_walks_oracle_sql(),
         "node2vec_walks": gate.node2vec_oracle_sql(),
+        "sample_neighborhoods": gate.sample_neighborhoods_oracle_sql(),
         "betweenness_landmarks": gate.betweenness_oracle_sql(),
         "modularity_lpa": gate.modularity_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),

@@ -734,6 +734,50 @@ w{i} AS (SELECT walk_id, v_id FROM (
     return _materialize("".join(parts))
 
 
+SAMPLE_FANOUTS = (3, 2)
+SAMPLE_SEED_MOD = 211
+
+
+def sample_neighborhoods_oracle_sql(
+    fanouts: tuple[int, ...] = SAMPLE_FANOUTS,
+) -> str:
+    """Hop-unrolled replay of the fixed-fanout neighborhood sampler —
+    DuckDB reproduces the md5 ranking, per-seed visited exclusion, and
+    per-(seed, src) fanout cut (see
+    :func:`cminer_spark.operators.sampling.sample_neighborhoods`)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""",
+fr0 AS (SELECT v AS seed_id, v AS v_id FROM verts
+        WHERE v % {SAMPLE_SEED_MOD} = 0 AND v < 1000000000),
+vis0 AS (SELECT * FROM fr0)""",
+    ]
+    for h, f in enumerate(fanouts, start=1):
+        parts.append(
+            f""",
+s{h} AS (SELECT seed_id, src, dst FROM (
+  SELECT c.seed_id, c.src, c.dst,
+         row_number() OVER (
+           PARTITION BY c.seed_id, c.src
+           ORDER BY md5('0:' || CAST(c.seed_id AS VARCHAR) || ':{h}:'
+                        || CAST(c.src AS VARCHAR) || ':'
+                        || CAST(c.dst AS VARCHAR)), c.dst) AS rn
+  FROM (SELECT fr.seed_id, fr.v_id AS src, s.v AS dst
+        FROM fr{h-1} fr JOIN sym s ON fr.v_id = s.u) c
+  LEFT JOIN vis{h-1} p ON p.seed_id = c.seed_id AND p.v_id = c.dst
+  WHERE p.v_id IS NULL
+) t WHERE rn <= {f}),
+fr{h} AS (SELECT DISTINCT seed_id, dst AS v_id FROM s{h}),
+vis{h} AS (SELECT * FROM vis{h-1} UNION SELECT * FROM fr{h})"""
+        )
+    selects = [
+        f"SELECT seed_id, CAST({h} AS BIGINT) AS hop, src, dst FROM s{h}"
+        for h in range(1, len(fanouts) + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return _materialize("".join(parts))
+
+
 N2V_WR, N2V_WC, N2V_WF = 1, 4, 2
 
 

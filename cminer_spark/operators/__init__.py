@@ -9,6 +9,7 @@ from cminer_spark.operators.hits import hits
 from cminer_spark.operators.components import connected_components, hashmin_components
 from cminer_spark.operators.lpa import label_propagation
 from cminer_spark.operators.scc import strongly_connected_components
+from cminer_spark.operators.sampling import sample_neighborhoods
 from cminer_spark.operators.walks import node2vec_walks, random_walks
 from cminer_spark.operators.triangles import triangle_counts
 from cminer_spark.operators.stats import (
@@ -33,6 +34,7 @@ __all__ = [
     "strongly_connected_components",
     "random_walks",
     "node2vec_walks",
+    "sample_neighborhoods",
     "label_propagation",
     "triangle_counts",
     "graph_summary",
