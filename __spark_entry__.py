@@ -281,6 +281,20 @@ def _q_sample_neighborhoods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edges (k=3): iterative triangle-support peeling,
+    converged within the oracle's unrolled round budget."""
+    from cminer_spark.operators.truss import ktruss_edges
+
+    out, info = ktruss_edges(
+        gate.gate_edges_df(spark, sf_dir),
+        k=gate.TRUSS_K,
+        max_rounds=gate.TRUSS_ROUNDS,
+    )
+    assert info.converged, "k-truss peeling budget exhausted on gate graph"
+    return out
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark betweenness from the tool hubs (Brandes forward sigma
     + backward dependency sweep), k-round truncated like the oracle."""
@@ -618,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec,
         "sample_neighborhoods": _q_sample_neighborhoods,
+        "ktruss3": _q_ktruss,
         "betweenness_landmarks": _q_betweenness,
         "modularity_lpa": _q_modularity,
         "lpa_k3": _q_lpa,
@@ -661,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": gate.random_walks_oracle_sql(),
         "node2vec_walks": gate.node2vec_oracle_sql(),
         "sample_neighborhoods": gate.sample_neighborhoods_oracle_sql(),
+        "ktruss3": gate.ktruss_oracle_sql(),
         "betweenness_landmarks": gate.betweenness_oracle_sql(),
         "modularity_lpa": gate.modularity_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),

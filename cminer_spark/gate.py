@@ -734,6 +734,51 @@ w{i} AS (SELECT walk_id, v_id FROM (
     return _materialize("".join(parts))
 
 
+TRUSS_K = 3
+TRUSS_ROUNDS = 3
+
+
+def ktruss_oracle_sql(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
+    """``rounds`` unrolled peel iterations — each recomputes per-edge
+    triangle support on the survivors (degree-ordered orientation,
+    same shape as the triangle oracle) and drops edges below k−2.
+    Stable within ``rounds`` on the gate graph, so this equals the
+    converged :func:`cminer_spark.operators.truss.ktruss_edges`."""
+    need = k - 2
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM edges WHERE src <> dst)""",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i} AS (SELECT v, count(*) AS dg
+         FROM (SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}) t
+         GROUP BY v),
+o{i} AS (SELECT CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+                     THEN u.a ELSE u.b END AS lo,
+                CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+                     THEN u.b ELSE u.a END AS hi
+         FROM e{i} u JOIN d{i} da ON u.a = da.v JOIN d{i} db ON u.b = db.v),
+wg{i} AS (SELECT e1.lo AS piv, e1.hi AS x, e2.hi AS y
+          FROM o{i} e1 JOIN o{i} e2 ON e1.lo = e2.lo WHERE e1.hi < e2.hi),
+cg{i} AS (SELECT least(lo, hi) AS x, greatest(lo, hi) AS y FROM o{i}),
+tg{i} AS (SELECT w.piv, w.x, w.y
+          FROM wg{i} w JOIN cg{i} c ON w.x = c.x AND w.y = c.y),
+te{i} AS (SELECT least(piv, x) AS a, greatest(piv, x) AS b FROM tg{i}
+          UNION ALL SELECT least(piv, y), greatest(piv, y) FROM tg{i}
+          UNION ALL SELECT x, y FROM tg{i}),
+sp{i} AS (SELECT a, b, count(*) AS sup FROM te{i} GROUP BY a, b),
+e{i + 1} AS (SELECT e.a, e.b
+             FROM e{i} e JOIN sp{i} s ON e.a = s.a AND e.b = s.b
+             WHERE s.sup >= {need})"""
+        )
+    parts.append(f"\nSELECT a, b FROM e{rounds}")
+    return _materialize("".join(parts))
+
+
 SAMPLE_FANOUTS = (3, 2)
 SAMPLE_SEED_MOD = 211
 

@@ -12,6 +12,7 @@ from cminer_spark.operators.scc import strongly_connected_components
 from cminer_spark.operators.sampling import sample_neighborhoods
 from cminer_spark.operators.walks import node2vec_walks, random_walks
 from cminer_spark.operators.triangles import triangle_counts
+from cminer_spark.operators.truss import ktruss_edges
 from cminer_spark.operators.stats import (
     degree_assortativity,
     degree_histogram,
@@ -37,6 +38,7 @@ __all__ = [
     "sample_neighborhoods",
     "label_propagation",
     "triangle_counts",
+    "ktruss_edges",
     "graph_summary",
     "degree_histogram",
     "degree_assortativity",
