@@ -281,6 +281,19 @@ def _q_sample_neighborhoods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound, k-round truncated like the
+    oracle's two unrolled BFS chains."""
+    from cminer_spark.operators.paths import diameter_estimate
+
+    out, _info = diameter_estimate(
+        gate.gate_edges_df(spark, sf_dir),
+        directed=False,
+        max_rounds=gate.BFS_ROUNDS,
+    )
+    return out
+
+
 def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss edges (k=3): iterative triangle-support peeling,
     converged within the oracle's unrolled round budget."""
@@ -633,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec,
         "sample_neighborhoods": _q_sample_neighborhoods,
         "ktruss3": _q_ktruss,
+        "diameter_2sweep": _q_diameter,
         "betweenness_landmarks": _q_betweenness,
         "modularity_lpa": _q_modularity,
         "lpa_k3": _q_lpa,
@@ -677,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_walks": gate.node2vec_oracle_sql(),
         "sample_neighborhoods": gate.sample_neighborhoods_oracle_sql(),
         "ktruss3": gate.ktruss_oracle_sql(),
+        "diameter_2sweep": gate.diameter_oracle_sql(),
         "betweenness_landmarks": gate.betweenness_oracle_sql(),
         "modularity_lpa": gate.modularity_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),

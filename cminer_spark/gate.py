@@ -734,6 +734,49 @@ w{i} AS (SELECT walk_id, v_id FROM (
     return _materialize("".join(parts))
 
 
+def diameter_oracle_sql(k: int = BFS_ROUNDS) -> str:
+    """Two unrolled k-round BFS sweeps (min-id start → farthest →
+    eccentricity) — matches
+    :func:`cminer_spark.operators.paths.diameter_estimate` with
+    ``max_rounds=k`` (same truncation)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+seed1 AS (SELECT min(v) AS v FROM verts),
+a0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM seed1)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+arx{i} AS (SELECT s.v AS v, d.dist + 1 AS dist
+           FROM a{i-1} d JOIN sym s ON d.v = s.u),
+a{i} AS (SELECT v, min(dist) AS dist
+         FROM (SELECT * FROM a{i-1} UNION ALL SELECT * FROM arx{i}) t
+         GROUP BY v)"""
+        )
+    parts.append(
+        f""",
+farv AS (SELECT v FROM a{k} ORDER BY dist DESC, v ASC LIMIT 1),
+b0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM farv)"""
+    )
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+brx{i} AS (SELECT s.v AS v, d.dist + 1 AS dist
+           FROM b{i-1} d JOIN sym s ON d.v = s.u),
+b{i} AS (SELECT v, min(dist) AS dist
+         FROM (SELECT * FROM b{i-1} UNION ALL SELECT * FROM brx{i}) t
+         GROUP BY v)"""
+        )
+    parts.append(
+        f"""
+SELECT (SELECT min(v) FROM verts) AS start_v,
+       (SELECT v FROM farv) AS peripheral_v,
+       (SELECT coalesce(max(dist), 0) FROM b{k}) AS diameter_lb"""
+    )
+    return _materialize("".join(parts))
+
+
 TRUSS_K = 3
 TRUSS_ROUNDS = 3
 

@@ -260,6 +260,55 @@ def landmark_distances(
     return result, info
 
 
+def diameter_estimate(
+    edges: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, PathInfo]:
+    """Double-sweep diameter lower bound (the standard 2-BFS
+    heuristic, exact on trees): BFS from the minimum vertex id, take
+    the farthest vertex (max dist, ties → min id), BFS again from it;
+    the second eccentricity is the bound.
+
+    Returns ``(df(start_v, peripheral_v, diameter_lb), info)`` — one
+    row; ``info`` is the second sweep's :class:`PathInfo`. With
+    ``max_rounds=k`` and no convergence the bound is over ≤k-hop
+    distances (truncation the SQL gate mirrors). Cost: exactly two
+    multi-source BFS runs — nothing new to scale beyond
+    :func:`shortest_paths`.
+    """
+    spark = edges.sparkSession
+    verts = edges.select(F.col("src").alias("v_id")).union(
+        edges.select(F.col("dst").alias("v_id"))
+    )
+    row = verts.agg(F.min("v_id").alias("v0")).collect()[0]
+    if row.v0 is None:
+        empty = spark.createDataFrame(
+            [], "start_v long, peripheral_v long, diameter_lb long"
+        )
+        return empty, PathInfo(converged=True)
+    v0 = int(row.v0)
+    d1, _ = shortest_paths(
+        edges,
+        spark.createDataFrame([(v0,)], "v_id long"),
+        directed=directed,
+        max_rounds=max_rounds,
+    )
+    far = d1.orderBy(F.desc("dist"), F.asc("v_id")).limit(1).collect()[0]
+    d2, info = shortest_paths(
+        edges,
+        spark.createDataFrame([(int(far.v_id),)], "v_id long"),
+        directed=directed,
+        max_rounds=max_rounds,
+    )
+    lb = int(d2.agg(F.max("dist")).collect()[0][0] or 0)
+    out = spark.createDataFrame(
+        [(v0, int(far.v_id), lb)],
+        "start_v long, peripheral_v long, diameter_lb long",
+    )
+    return out, info
+
+
 def landmark_betweenness(
     edges: DataFrame,
     landmarks: DataFrame,

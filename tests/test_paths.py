@@ -283,3 +283,41 @@ def test_betweenness_path_graph_closed_form(spark):
     assert math.isclose(got[2], 2 * 4.0)  # pairs (0,3),(0,4),(1,3),(1,4)
     assert math.isclose(got[1], 2 * 3.0)
     assert got.get(0, 0.0) == 0.0
+
+
+def test_diameter_double_sweep_exact_on_tree(spark):
+    from cminer_spark.operators.paths import diameter_estimate
+
+    # path 0-1-...-8: double sweep is exact on trees → diameter 8
+    pairs = [(i, i + 1) for i in range(8)]
+    out, info = diameter_estimate(edges_df(spark, pairs), directed=False)
+    row = out.collect()[0]
+    assert info.converged
+    assert row.start_v == 0 and row.peripheral_v == 8 and row.diameter_lb == 8
+
+
+def test_diameter_is_lower_bound_on_random_graph(spark):
+    from cminer_spark.operators.paths import diameter_estimate
+
+    rng = random.Random(53)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(60)]
+    out, _ = diameter_estimate(edges_df(spark, pairs), directed=False)
+    lb = out.collect()[0].diameter_lb
+    g = _nx_graph(pairs, directed=False, weighted=False)
+    # true diameter of the component containing min-id vertex bounds lb
+    comp = g.subgraph(nx.node_connected_component(g, min(g.nodes)))
+    true_d = nx.diameter(comp)
+    assert 0 < lb <= true_d
+
+
+def test_diameter_truncated_rounds(spark):
+    from cminer_spark.operators.paths import diameter_estimate
+
+    pairs = [(i, i + 1) for i in range(10)]
+    out, info = diameter_estimate(
+        edges_df(spark, pairs), directed=False, max_rounds=3
+    )
+    row = out.collect()[0]
+    assert not info.converged
+    # sweep 1 reaches only vertex 3; sweep 2 from 3 reaches 0..6 → lb 3
+    assert row.peripheral_v == 3 and row.diameter_lb == 3
