@@ -25,7 +25,7 @@ if _HERE not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cminer_spark import gate, gate_pipeline
+from cminer_spark import gate, gate_events, gate_pipeline
 from cminer_spark.operators import (
     degrees,
     degrees_by_type,
@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "topk_window": _q_topk_window,
         **gate_pipeline.queries(),
+        **gate_events.queries(),
     }
 
 
@@ -738,4 +739,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 5
         """,
         **gate_pipeline.oracles(),
+        **gate_events.oracles(),
     }

@@ -1,0 +1,183 @@
+"""Gate queries + DuckDB oracles for the temporal/event operators
+(sessionize, as-of join, funnel).
+
+All run on the ``events`` parquet table ``(event_id, ts, user_id,
+event_type, value, props)``. Timestamps are emitted as epoch
+microseconds (``unix_micros`` / ``epoch_us``) so both engines compare
+exact int64s, never timezone-rendered strings; float payloads are
+rounded to 6 places on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cminer_spark.operators.temporal import (
+    _unix_micros,
+    asof_join,
+    funnel,
+    sessionize,
+)
+
+SESSION_GAP_SECONDS = 1800
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ----------------------------------------------------------------------
+# spark-side queries
+# ----------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sessionize(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts="ts",
+        gap_seconds=SESSION_GAP_SECONDS,
+        tie_cols=("event_id",),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(_unix_micros(F.col("ts"))).alias("start_us"),
+        F.max(_unix_micros(F.col("ts"))).alias("end_us"),
+    )
+
+
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        views.withColumnRenamed("event_id", "view_event_id"),
+        key="user_id",
+        ts="ts",
+        right_cols=["view_event_id", "value"],
+        right_tie=("view_event_id",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 6).alias("purchase_value"),
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.round("asof_value", 6).alias("view_value"),
+        _unix_micros(F.col("asof_ts")).alias("view_ts_us"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(
+        _events(spark, sf_dir),
+        steps=list(FUNNEL_STEPS),
+        key="user_id",
+        ts="ts",
+        type_col="event_type",
+    )
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracles
+# ----------------------------------------------------------------------
+
+def sessionize_oracle_sql(gap_seconds: int = SESSION_GAP_SECONDS) -> str:
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY us ASC, event_id ASC
+           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def asof_oracle_sql() -> str:
+    return """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'view'
+), ranked AS (
+  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+         round(p.value, 6) AS purchase_value,
+         v.event_id AS view_event_id,
+         round(v.value, 6) AS view_value,
+         epoch_us(v.ts) AS view_ts_us,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM p LEFT JOIN v
+    ON v.user_id = p.user_id AND v.ts <= p.ts
+)
+SELECT event_id, user_id, ts_us, purchase_value,
+       view_event_id, view_value, view_ts_us
+FROM ranked WHERE rn = 1
+"""
+
+
+def funnel_oracle_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    parts = [
+        f"""
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s{i-1} USING (user_id)
+  WHERE e.event_type = '{step}' AND e.ts > s{i-1}.t
+  GROUP BY e.user_id
+)"""
+        )
+    selects = [
+        f"SELECT '{step}' AS step, CAST({i} AS BIGINT) AS step_idx, "
+        f"count(*) AS users FROM s{i}"
+        for i, step in enumerate(steps)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+def queries():
+    return {
+        "sessionize_30m": q_sessionize,
+        "asof_view_before_purchase": q_asof_view_before_purchase,
+        "funnel_signup_view_purchase": q_funnel,
+    }
+
+
+def oracles():
+    return {
+        "sessionize_30m": sessionize_oracle_sql(),
+        "asof_view_before_purchase": asof_oracle_sql(),
+        "funnel_signup_view_purchase": funnel_oracle_sql(),
+    }

@@ -19,6 +19,7 @@ from cminer_spark.operators.stats import (
     graph_summary,
     modularity,
 )
+from cminer_spark.operators.temporal import asof_join, funnel, sessionize
 
 __all__ = [
     "extract_edges",
@@ -43,4 +44,7 @@ __all__ = [
     "degree_histogram",
     "degree_assortativity",
     "modularity",
+    "sessionize",
+    "asof_join",
+    "funnel",
 ]
