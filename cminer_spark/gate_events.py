@@ -74,6 +74,14 @@ def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.graph import cooccurrence
+
+    return cooccurrence(
+        _events(spark, sf_dir), entity_col="user_id", item_col="event_type"
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(
         _events(spark, sf_dir),
@@ -167,11 +175,22 @@ s{i} AS (
     return "".join(parts)
 
 
+COOCCURRENCE_SQL = """
+WITH m AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       count(*) AS n_entities
+FROM m a JOIN m b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
 def queries():
     return {
         "sessionize_30m": q_sessionize,
         "asof_view_before_purchase": q_asof_view_before_purchase,
         "funnel_signup_view_purchase": q_funnel,
+        "event_cooccurrence": q_cooccurrence,
     }
 
 
@@ -180,4 +199,5 @@ def oracles():
         "sessionize_30m": sessionize_oracle_sql(),
         "asof_view_before_purchase": asof_oracle_sql(),
         "funnel_signup_view_purchase": funnel_oracle_sql(),
+        "event_cooccurrence": COOCCURRENCE_SQL,
     }

@@ -25,6 +25,8 @@ from cminer_spark.pipeline import (
     simhash,
     token_counts,
 )
+from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
+from cminer_spark.pipeline.textstats import repetition_stats
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -44,6 +46,11 @@ MINHASH_BANDS = 4
 SIMHASH_BITS = 48
 SIMHASH_NEARDUP_HAMMING = 2
 DEDUP_CC_ROUNDS = 4
+# "dup" is rare (df≈25/500 at sf0.01) vs the common terms — the gate
+# exercises a real idf spread, not near-constant weights
+BM25_QUERY = ("dup", "spark", "join")
+BM25_K = 15
+TFIDF_K = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +275,26 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(
+        _docs(spark, sf_dir), list(BM25_QUERY), k=BM25_K
+    ).select("doc_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "tfidf",
+        F.col("term_rank").cast("long").alias("term_rank"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -786,6 +813,101 @@ LEFT JOIN (SELECT doc_id, min(md5(s)) AS rf FROM sh GROUP BY doc_id) m
 """
 
 
+def bm25_oracle_sql(
+    query=BM25_QUERY, k=BM25_K, k1: float = 1.2, b: float = 0.75
+) -> str:
+    qlist = "[" + ",".join(f"'{t}'" for t in sorted(set(query))) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), ' +')) AS dl,
+         list_filter(string_split_regex(lower(text), ' +'),
+                     x -> list_contains({qlist}, x)) AS hits
+  FROM documents
+), corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, dl, unnest(hits) AS term FROM base
+  ) GROUP BY doc_id, dl, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         round(sum(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({k1} + 1))
+           / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / c.avgdl))
+         ), 6) AS score
+  FROM tf t JOIN df d USING (term) CROSS JOIN corpus c
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def tfidf_oracle_sql(k=TFIDF_K) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS term
+    FROM documents
+  ) WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, term_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+  FROM scored
+) WHERE term_rank <= {k}
+"""
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+  FROM documents
+), uni AS (
+  SELECT doc_id,
+         sum(c) AS n_tok, max(c) AS top_c,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars,
+         sum(c * length(g)) AS tok_chars
+  FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest(toks) AS g FROM t
+    ) WHERE g <> '' GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), bi AS (
+  SELECT doc_id,
+         sum(c) AS n_bi,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bi
+  FROM (
+    SELECT doc_id, bg, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+      FROM t
+    ) GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT u.doc_id,
+       round(u.top_c / CAST(greatest(u.n_tok, 1) AS DOUBLE), 6)
+         AS top_token_fraction,
+       round(u.dup_chars / CAST(greatest(u.tok_chars, 1) AS DOUBLE), 6)
+         AS dup_token_char_fraction,
+       round(coalesce(b.dup_bi, 0) / CAST(greatest(coalesce(b.n_bi, 0), 1) AS DOUBLE), 6)
+         AS dup_bigram_fraction
+FROM uni u LEFT JOIN bi b USING (doc_id)
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -805,6 +927,9 @@ def queries():
         "quality_stats": q_quality_stats,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "bm25_topk": q_bm25_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -829,4 +954,7 @@ def oracles():
         "quality_stats": QUALITY_STATS_SQL,
         "language_id": language_id_oracle_sql(),
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
+        "bm25_topk": bm25_oracle_sql(),
+        "tfidf_top_terms": tfidf_oracle_sql(),
+        "repetition_stats": REPETITION_STATS_SQL,
     }

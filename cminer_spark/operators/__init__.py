@@ -3,7 +3,13 @@ from cminer_spark.operators.edges import (
     passthrough_turns,
     vertices_from_transcripts,
 )
-from cminer_spark.operators.graph import degrees, degrees_by_type, hub_vertices, csr_blocks
+from cminer_spark.operators.graph import (
+    cooccurrence,
+    csr_blocks,
+    degrees,
+    degrees_by_type,
+    hub_vertices,
+)
 from cminer_spark.operators.pagerank import pagerank
 from cminer_spark.operators.hits import hits
 from cminer_spark.operators.components import connected_components, hashmin_components
@@ -28,6 +34,7 @@ __all__ = [
     "degrees",
     "degrees_by_type",
     "hub_vertices",
+    "cooccurrence",
     "csr_blocks",
     "pagerank",
     "hits",

@@ -180,6 +180,52 @@ def _und_sym(edges: DataFrame) -> DataFrame:
     )
 
 
+def cooccurrence(
+    pairs: DataFrame,
+    entity_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_entity_degree: int | None = None,
+) -> DataFrame:
+    """Bipartite co-occurrence projection: from (entity, item)
+    membership pairs, the weighted item–item graph where
+    ``n_entities`` = how many entities contain both items.
+
+    The projection behind "users who run tool A also run tool B" /
+    co-citation / basket analysis. Returns ``(item_a, item_b,
+    n_entities)`` with ``item_a < item_b`` (undirected, each unordered
+    pair once), pairs below ``min_count`` dropped.
+
+    Same wedge-enumeration scale shape as :func:`jaccard_similarity`
+    with the entity as the pivot: an entity holding d items emits d²
+    pair rows, so ``max_entity_degree`` EXCLUDES entities above the
+    cap from the projection (a crawler session touching every item
+    contributes no similarity signal — stop-entity removal, documented
+    under-approximation). Membership is deduplicated first, so
+    repeated (entity, item) events count once.
+    """
+    m = pairs.select(
+        F.col(entity_col).alias("ent"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_entity_degree is not None:
+        ok = (
+            m.groupBy("ent")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_entity_degree)
+            .select("ent")
+        )
+        m = m.join(ok, "ent", "left_semi")
+    a = m.select("ent", F.col("item").alias("item_a"))
+    b = m.select("ent", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "ent")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .where(F.col("n_entities") >= min_count)
+    )
+
+
 def jaccard_similarity(
     edges: DataFrame,
     min_shared: int = 1,

@@ -16,10 +16,12 @@ from cminer_spark.pipeline.similarity import (
     lsh_bucketed_topk,
     pseudo_random_centroids,
 )
+from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
 from cminer_spark.pipeline.textstats import (
     doc_fingerprint,
     language_id,
     quality_stats,
+    repetition_stats,
     token_counts,
 )
 
@@ -41,5 +43,8 @@ __all__ = [
     "doc_fingerprint",
     "language_id",
     "quality_stats",
+    "repetition_stats",
     "token_counts",
+    "bm25_search",
+    "tfidf_top_terms",
 ]

@@ -116,6 +116,81 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style token repetition signals per document:
+
+    * ``top_token_fraction`` — occurrences of the most frequent token
+      / total tokens (Rae et al. 2021's "fraction of characters in the
+      most common n-gram", n=1, token grain);
+    * ``dup_token_char_fraction`` — fraction of token characters
+      belonging to tokens that occur ≥2 times;
+    * ``dup_bigram_fraction`` — repeated-bigram occurrences / total
+      bigrams (0.0 for docs with <2 tokens).
+
+    Shape: one explode + two hash aggregates keyed on (doc, gram) then
+    doc — the same map-side-combined shuffle pair as the TF-IDF build;
+    the bigram stream reuses the token explode via ``lead``-free array
+    zipping (no window).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        ).alias("bigrams"),
+    )
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("g"))
+        .where(F.col("g") != "")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.max("c").alias("top_c"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_chars"),
+            F.sum(F.col("c") * F.length("g")).alias("tok_chars"),
+        )
+    )
+    bi = (
+        base.select("doc_id", F.explode("bigrams").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bi"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_bi"
+            ),
+        )
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.greatest("n_tok", F.lit(1)), 6).alias(
+                "top_token_fraction"
+            ),
+            F.round(
+                F.col("dup_chars") / F.greatest("tok_chars", F.lit(1)), 6
+            ).alias("dup_token_char_fraction"),
+            F.round(
+                F.coalesce(F.col("dup_bi"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_bi"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_bigram_fraction"),
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -147,3 +147,36 @@ def test_jaccard_minhash_estimates(spark):
     # high-sim pairs (j >= 0.8) must all be recalled by the banding
     high = {k for k, v in exact.items() if v >= 0.8}
     assert high <= set(est)
+
+
+def test_cooccurrence_hand_computed(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "b"),  # dup membership counts once
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "c"),
+        ],
+        "ent long, item string",
+    )
+    from cminer_spark.operators.graph import cooccurrence
+
+    out = {
+        (r.item_a, r.item_b): r.n_entities
+        for r in cooccurrence(pairs, "ent", "item").collect()
+    }
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cooccurrence_entity_degree_cap(spark):
+    # entity 2 holds 3 items — capped at 2 it drops out entirely
+    pairs = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c")],
+        "ent long, item string",
+    )
+    from cminer_spark.operators.graph import cooccurrence
+
+    out = {
+        (r.item_a, r.item_b): r.n_entities
+        for r in cooccurrence(pairs, "ent", "item", max_entity_degree=2).collect()
+    }
+    assert out == {("a", "b"): 1}
