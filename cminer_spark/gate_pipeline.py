@@ -51,6 +51,10 @@ DEDUP_CC_ROUNDS = 4
 BM25_QUERY = ("dup", "spark", "join")
 BM25_K = 15
 TFIDF_K = 3
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 7
+QUOTA_N = 20
+DECONTAM_NGRAM = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,6 +299,32 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.curation import deterministic_split
+
+    return deterministic_split(
+        _docs(spark, sf_dir), SPLIT_WEIGHTS, seed=SPLIT_SEED
+    ).select("doc_id", "split")
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.curation import quota_sample
+
+    return quota_sample(
+        _docs(spark, sf_dir), "source", n=QUOTA_N, seed=SPLIT_SEED
+    ).select("doc_id", "source")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 0)
+    return decontaminate(
+        docs, eval_docs, n=DECONTAM_NGRAM, mark_only=True
+    ).select("doc_id", "contaminated")
 
 
 # ----------------------------------------------------------------------
@@ -908,6 +938,58 @@ FROM uni u LEFT JOIN bi b USING (doc_id)
 """
 
 
+_SPLIT_HASH_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8) "
+    "AS BIGINT) / 4294967296.0"
+)
+
+
+def split_oracle_sql(weights=SPLIT_WEIGHTS, seed=SPLIT_SEED) -> str:
+    h = _SPLIT_HASH_SQL.format(seed=seed)
+    names = list(weights)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN h < {acc!r} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, {case} AS split
+FROM (SELECT doc_id, {h} AS h FROM documents)
+"""
+
+
+def quota_oracle_sql(n=QUOTA_N, seed=SPLIT_SEED) -> str:
+    h = _SPLIT_HASH_SQL.format(seed=seed)
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {n}
+"""
+
+
+def decontam_oracle_sql(n=DECONTAM_NGRAM) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents
+), eg AS (
+  SELECT DISTINCT array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(CASE WHEN len(t) >= {n} THEN range(1, len(t) - {n - 2})
+                         ELSE [] END) AS u(i)
+  WHERE doc_id % 10 = 0
+), dg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(CASE WHEN len(t) >= {n} THEN range(1, len(t) - {n - 2})
+                         ELSE [] END) AS u(i)
+), hits AS (
+  SELECT DISTINCT doc_id FROM dg JOIN eg USING (g)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -930,6 +1012,9 @@ def queries():
         "bm25_topk": q_bm25_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
+        "deterministic_split": q_deterministic_split,
+        "quota_sample": q_quota_sample,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -957,4 +1042,7 @@ def oracles():
         "bm25_topk": bm25_oracle_sql(),
         "tfidf_top_terms": tfidf_oracle_sql(),
         "repetition_stats": REPETITION_STATS_SQL,
+        "deterministic_split": split_oracle_sql(),
+        "quota_sample": quota_oracle_sql(),
+        "decontaminate": decontam_oracle_sql(),
     }

@@ -16,6 +16,12 @@ from cminer_spark.pipeline.similarity import (
     lsh_bucketed_topk,
     pseudo_random_centroids,
 )
+from cminer_spark.pipeline.curation import (
+    decontaminate,
+    deterministic_split,
+    quota_sample,
+    split_hash,
+)
 from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
 from cminer_spark.pipeline.textstats import (
     doc_fingerprint,
@@ -47,4 +53,8 @@ __all__ = [
     "token_counts",
     "bm25_search",
     "tfidf_top_terms",
+    "split_hash",
+    "deterministic_split",
+    "quota_sample",
+    "decontaminate",
 ]
