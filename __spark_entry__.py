@@ -32,6 +32,7 @@ from cminer_spark.operators import (
     extract_edges,
     hashmin_components,
     hits,
+    katz,
     label_propagation,
     pagerank,
     triangle_counts,
@@ -100,6 +101,14 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "v_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_x_n")
     )
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = gate.gate_edges_df(spark, sf_dir)
+    scores, _info = katz(
+        edges, alpha=gate.KATZ_ALPHA, beta=1.0, max_iter=gate.KATZ_ITERS, tol=0.0
+    )
+    return scores.select("v_id", F.round("katz", 6).alias("katz"))
 
 
 def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,
+        "katz_k5": _q_katz,
         "ppr_k5": _q_ppr,
         "hits_k4": _q_hits,
         "core_numbers": _q_kcore,
@@ -676,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees": gate.degrees_oracle_sql(),
         "degrees_by_type": gate.degrees_by_type_oracle_sql(),
         "pagerank_k5": gate.pagerank_oracle_sql(),
+        "katz_k5": gate.katz_oracle_sql(),
         "ppr_k5": gate.ppr_oracle_sql(),
         "hits_k4": gate.hits_oracle_sql(),
         "core_numbers": gate.kcore_oracle_sql(),

@@ -159,6 +159,34 @@ FROM r{k} r CROSS JOIN nv"""
     return _materialize("".join(parts))
 
 
+KATZ_ALPHA = 0.05
+KATZ_ITERS = 5
+
+
+def katz_oracle_sql(
+    k: int = KATZ_ITERS, a: float = KATZ_ALPHA, beta: float = 1.0
+) -> str:
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""",
+adjw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM edges GROUP BY src, dst),
+x0 AS (SELECT v, CAST({beta} AS DOUBLE) AS x FROM verts)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+m{i} AS (SELECT a.dst AS v, sum(a.w * x.x) AS mass
+         FROM adjw a JOIN x{i-1} x ON a.src = x.v GROUP BY a.dst),
+x{i} AS (SELECT v.v, {beta} + {a} * coalesce(m.mass, 0.0) AS x
+         FROM verts v LEFT JOIN m{i} m ON v.v = m.v)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS v_id, round(x, 6) AS katz FROM x{k}"""
+    )
+    return _materialize("".join(parts))
+
+
 def ppr_oracle_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
     """Personalized PageRank, seeded on the tool-hub vertices
     (``v >= 1000000000`` — the deterministic `invokes` targets).

@@ -12,6 +12,7 @@ from cminer_spark.operators.graph import (
 )
 from cminer_spark.operators.pagerank import pagerank
 from cminer_spark.operators.hits import hits
+from cminer_spark.operators.katz import katz
 from cminer_spark.operators.components import connected_components, hashmin_components
 from cminer_spark.operators.lpa import label_propagation
 from cminer_spark.operators.scc import strongly_connected_components
@@ -37,6 +38,7 @@ __all__ = [
     "cooccurrence",
     "csr_blocks",
     "pagerank",
+    "katz",
     "hits",
     "connected_components",
     "hashmin_components",
