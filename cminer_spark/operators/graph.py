@@ -139,20 +139,35 @@ def k_hop_neighborhood(
         sym = sym.union(
             edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
         )
+    from cminer_spark.plans.checkpoint import EphemeralStateStore
+
     sym = sym.distinct().persist()
-    visited = seeds.select("v_id").distinct()
-    frontier = visited
-    for _ in range(k):
-        nxt = (
-            sym.join(frontier.withColumnRenamed("v_id", "u"), "u", "left_semi")
-            .select(F.col("v").alias("v_id"))
-            .distinct()
-            .join(visited, "v_id", "left_anti")
-        )
-        visited = visited.union(nxt).distinct().localCheckpoint(eager=True)
-        frontier = nxt
-    sym.unpersist()
-    return visited
+    # Per-hop state rides the parquet double-buffer: eager
+    # localCheckpoint blocks accumulate across supersteps and degrade
+    # sharply past ~20 iterations, which a deep BFS (k near the graph
+    # diameter) would hit. Frontier and visited are saved separately
+    # (even/odd slots) so each hop's plan is rooted at two flat scans.
+    store = EphemeralStateStore(edges.sparkSession, "khop")
+    try:
+        visited = seeds.select("v_id").distinct()
+        frontier = visited
+        for hop in range(k):
+            nxt = (
+                sym.join(
+                    frontier.withColumnRenamed("v_id", "u"), "u", "left_semi"
+                )
+                .select(F.col("v").alias("v_id"))
+                .distinct()
+                .join(visited, "v_id", "left_anti")
+            )
+            frontier = store.save(nxt, 2 * hop)
+            if frontier.count() == 0:
+                break
+            visited = store.save(visited.union(frontier), 2 * hop + 1)
+        return visited.localCheckpoint(eager=True)
+    finally:
+        store.close()
+        sym.unpersist()
 
 
 def label_catalog(vertices: DataFrame) -> DataFrame:

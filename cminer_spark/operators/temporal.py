@@ -169,27 +169,38 @@ def funnel(
     Each step is one filtered aggregate ``min(ts) GROUP BY key``
     joined to the previous step's completion frame on ``key`` —
     |steps| shuffles over frames that only ever shrink; no windows
-    over the full event set, no cross products.
+    over the full event set, no cross products. Per-step state rides
+    the :class:`~cminer_spark.plans.checkpoint.EphemeralStateStore`
+    parquet double-buffer, so long funnels keep a flat plan (eager
+    ``localCheckpoint`` blocks accumulate and degrade sharply past
+    ~20 iterations) and the step count is footer metadata, not a
+    second scan.
     """
+    from cminer_spark.plans.checkpoint import EphemeralStateStore
+
     spark = events.sparkSession
+    store = EphemeralStateStore(spark, "funnel")
     counts: list[tuple[str, int, int]] = []
     prev: DataFrame | None = None
-    for i, step in enumerate(steps):
-        ev = events.where(F.col(type_col) == step).select(
-            F.col(key), F.col(ts)
-        )
-        if prev is None:
-            cur = ev.groupBy(key).agg(F.min(ts).alias("_t"))
-        else:
-            cur = (
-                ev.join(prev, key)
-                .where(F.col(ts) > F.col("_t"))
-                .groupBy(key)
-                .agg(F.min(ts).alias("_t"))
+    try:
+        for i, step in enumerate(steps):
+            ev = events.where(F.col(type_col) == step).select(
+                F.col(key), F.col(ts)
             )
-        cur = cur.localCheckpoint(eager=True)
-        counts.append((step, i, cur.count()))
-        prev = cur
-    return spark.createDataFrame(
-        counts, "step string, step_idx long, users long"
-    )
+            if prev is None:
+                cur = ev.groupBy(key).agg(F.min(ts).alias("_t"))
+            else:
+                cur = (
+                    ev.join(prev, key)
+                    .where(F.col(ts) > F.col("_t"))
+                    .groupBy(key)
+                    .agg(F.min(ts).alias("_t"))
+                )
+            cur = store.save(cur, i)
+            counts.append((step, i, cur.count()))
+            prev = cur
+        return spark.createDataFrame(
+            counts, "step string, step_idx long, users long"
+        )
+    finally:
+        store.close()
