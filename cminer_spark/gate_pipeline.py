@@ -990,6 +990,63 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+# ----------------------------------------------------------------------
+# PII redaction — the sf documents carry no real PII, so the gate
+# plants it deterministically with a PORTABLE CTE (identical text on
+# Spark and DuckDB), then checks the full regex redaction + counting
+# pipeline over every row.
+# ----------------------------------------------------------------------
+
+PII_DOCS_CTE = """
+pii_docs AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS STRING)
+              || '@ex' || CAST(doc_id % 5 AS STRING) || '.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 3 = 1
+                      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')
+                           || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 4 = 0
+                      THEN ' from 10.' || CAST(doc_id % 256 AS STRING) || '.0.1'
+                      ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.redact import redact_pii
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    docs = spark.sql(f"WITH {PII_DOCS_CTE} SELECT doc_id, text FROM pii_docs")
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.col("text_redacted"),
+        *[F.col(c).cast("long").alias(c) for c in
+          ("n_email", "n_ssn", "n_phone", "n_ipv4", "n_pii")],
+    )
+
+
+def redact_oracle_sql() -> str:
+    from cminer_spark.pipeline.redact import redact_sql_exprs
+
+    red, counts = redact_sql_exprs("text")
+    count_cols = ",\n       ".join(f"{e} AS n_{k}" for k, e in counts)
+    total = " + ".join(e for _, e in counts)
+    return f"""
+WITH {PII_DOCS_CTE}
+SELECT doc_id,
+       {red} AS text_redacted,
+       {count_cols},
+       {total} AS n_pii
+FROM pii_docs
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1015,6 +1072,7 @@ def queries():
         "deterministic_split": q_deterministic_split,
         "quota_sample": q_quota_sample,
         "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -1045,4 +1103,5 @@ def oracles():
         "deterministic_split": split_oracle_sql(),
         "quota_sample": quota_oracle_sql(),
         "decontaminate": decontam_oracle_sql(),
+        "redact_pii": redact_oracle_sql(),
     }

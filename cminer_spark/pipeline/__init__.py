@@ -16,6 +16,7 @@ from cminer_spark.pipeline.similarity import (
     lsh_bucketed_topk,
     pseudo_random_centroids,
 )
+from cminer_spark.pipeline.redact import PII_PATTERNS, redact_pii
 from cminer_spark.pipeline.curation import (
     decontaminate,
     deterministic_split,
@@ -57,4 +58,6 @@ __all__ = [
     "deterministic_split",
     "quota_sample",
     "decontaminate",
+    "PII_PATTERNS",
+    "redact_pii",
 ]
