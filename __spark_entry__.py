@@ -496,6 +496,16 @@ def _q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop_neighborhood(edges, seeds, k=gate.KHOP_K, directed=False)
 
 
+def _q_anf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(1), N(2) — ordered within-h-hop
+    pair counts over the gate graph (ANF verification path; the
+    FM-sketch scale path is pytest-toleranced against this)."""
+    from cminer_spark.operators.anf import neighborhood_function_exact
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    return neighborhood_function_exact(edges, max_h=2, directed=False)
+
+
 def _q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 induced subgraph (reference Graph.py:607-623): double
     semi-join against the vertex set {v : v % 3 == 0}."""
@@ -669,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_ordered_stats": _q_match_ordered_stats,
         "match_parallel_sym": _q_match_parallel_sym,
         "k_hop2": _q_k_hop,
+        "anf_exact_h2": _q_anf_exact,
         "induced_subgraph": _q_induced_subgraph,
         "mine_edge_patterns": _q_mine_edge_patterns,
         "support_count": _q_support_count,
@@ -715,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "match_ordered_stats": gate.match_wedge_oracle_sql(),
         "match_parallel_sym": gate.match_parallel_sym_oracle_sql(),
         "k_hop2": gate.k_hop_oracle_sql(),
+        "anf_exact_h2": gate.anf_exact_oracle_sql(),
         "induced_subgraph": gate.induced_subgraph_oracle_sql(),
         "mine_edge_patterns": gate.mine_edge_patterns_oracle_sql(),
         "jaccard_similarity": gate.jaccard_oracle_sql(),

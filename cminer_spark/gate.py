@@ -602,6 +602,28 @@ vis{i} AS (SELECT v_id FROM vis{i-1}
     return _materialize("".join(parts))
 
 
+def anf_exact_oracle_sql() -> str:
+    """Exact neighborhood function N(h), h = 1..2, on the gate graph:
+    ordered pairs (u, v), u != v, within h hops of each other over the
+    symmetric simple projection. Gates the exact path of the ANF
+    operator (``operators/anf.py``); the FM-sketch scale path is
+    pytest-toleranced against it."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        """,
+r2 AS (
+  SELECT DISTINCT a.u, b.v
+  FROM sym a JOIN sym b ON a.v = b.u
+  WHERE a.u <> b.v
+  UNION
+  SELECT u, v FROM sym
+)
+SELECT CAST(1 AS INT) AS h, count(*) AS n_pairs FROM sym
+UNION ALL
+SELECT CAST(2 AS INT) AS h, count(*) AS n_pairs FROM r2"""
+    )
+
+
 def induced_subgraph_oracle_sql() -> str:
     """G1 induced subgraph (reference ``Graph.py:607-623``): edges with
     BOTH endpoints in the vertex set {v : v % 3 = 0} — the Spark side

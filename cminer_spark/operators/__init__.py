@@ -27,6 +27,11 @@ from cminer_spark.operators.stats import (
     modularity,
 )
 from cminer_spark.operators.temporal import asof_join, funnel, sessionize
+from cminer_spark.operators.anf import (
+    anf_sketch,
+    effective_diameter,
+    neighborhood_function_exact,
+)
 
 __all__ = [
     "extract_edges",
@@ -56,4 +61,7 @@ __all__ = [
     "sessionize",
     "asof_join",
     "funnel",
+    "anf_sketch",
+    "effective_diameter",
+    "neighborhood_function_exact",
 ]
