@@ -105,6 +105,15 @@ def main() -> None:
     timed(
         "triangles_events", lambda: triangle_counts(edges)[0].count(), passes=2
     )
+
+    # ANF distance sketch: k=16 FM bitmasks, one bit_or shuffle per
+    # hop — the whole-graph distance summary at link-graph scale
+    from cminer_spark.operators.anf import anf_sketch
+
+    extras["anf_hops"] = timed(
+        "anf_sketch_events",
+        lambda: anf_sketch(edges, max_h=6, k=16, seed=42).count(),
+    )
     edges.unpersist()
 
     # -- synthetic transcripts graph (scaling-run input) ----------------
@@ -225,6 +234,26 @@ def main() -> None:
         lambda: minhash_lsh_candidates(
             docs, num_hashes=16, bands=4, hash_family="xxhash64"
         ).count(),
+        passes=2,
+    )
+
+    # PII redaction over the same ~1.2M turn texts: pure regex
+    # expressions, shuffle-free — measures scan+codegen throughput
+    from cminer_spark.pipeline import redact_pii
+
+    # aggregate over the output columns so Catalyst cannot prune the
+    # regex work away (a bare count() would)
+    extras["redact_chars"] = timed(
+        "redact_pii_turns",
+        lambda: int(
+            redact_pii(docs)
+            .agg(
+                F.sum(
+                    F.length("text_redacted") + F.col("n_pii")
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        ),
         passes=2,
     )
 
