@@ -86,6 +86,24 @@ def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(t).select("src_key", "dst_key", "type")
 
 
+def _q_edge_extract_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental extraction: the 'previous snapshot' lacks every
+    turn with turn_idx >= 2 of the user_id % 5 == 0 conversations (so
+    their stale partial edges must be evicted and re-extracted);
+    splicing the delta must equal a full extraction, which is exactly
+    what the oracle computes (edge_extract_oracle_sql)."""
+    from cminer_spark.operators.edges import extract_edges_delta
+
+    _ship_package(spark)
+    t = gate.transcripts_df(spark, sf_dir)
+    grown = F.col("user_id") % 5 == 0
+    prev_t = t.where(~grown | (F.col("turn_idx") < 2))
+    prev_edges = extract_edges(prev_t)
+    changed = t.where(grown).select("conv_id").distinct()
+    out = extract_edges_delta(t, prev_edges, changed)
+    return out.select("src_key", "dst_key", "type")
+
+
 def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(gate.gate_edges_df(spark, sf_dir))
 
@@ -646,6 +664,7 @@ def _q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_extract": _q_edge_extract,
+        "edge_extract_delta": _q_edge_extract_delta,
         "degrees": _q_degrees,
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,
@@ -694,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "edge_extract": gate.edge_extract_oracle_sql(),
+        # delta splice must equal a FULL extraction — same oracle
+        "edge_extract_delta": gate.edge_extract_oracle_sql(),
         "degrees": gate.degrees_oracle_sql(),
         "degrees_by_type": gate.degrees_by_type_oracle_sql(),
         "pagerank_k5": gate.pagerank_oracle_sql(),

@@ -1,5 +1,6 @@
 from cminer_spark.operators.edges import (
     extract_edges,
+    extract_edges_delta,
     passthrough_turns,
     vertices_from_transcripts,
 )
@@ -35,6 +36,7 @@ from cminer_spark.operators.anf import (
 
 __all__ = [
     "extract_edges",
+    "extract_edges_delta",
     "passthrough_turns",
     "vertices_from_transcripts",
     "degrees",

@@ -321,6 +321,50 @@ def extract_edges(
     return edges.select("src", "dst", "type", "key", "weight", "src_key", "dst_key")
 
 
+def extract_edges_delta(
+    transcripts: DataFrame,
+    prev_edges: DataFrame,
+    changed_convs: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Incremental edge extraction: recompute only the conversations
+    that gained turns (or are new) and splice them into the previous
+    edge table.
+
+    This is the operation a 10^12-turn pipeline actually runs on each
+    ingest: ``changed_convs`` (one ``conv_id`` column — any superset of
+    the conversations whose turns changed) is a daily-delta-sized
+    frame, so BOTH data movements are broadcast-side:
+
+    * the changed conversations' full turn history is pulled with a
+      broadcast LEFT SEMI join (a conversation's pairing depends on all
+      its turns, so the whole conversation re-extracts — the kernel's
+      unit of work is one conversation either way);
+    * their stale edges leave ``prev_edges`` with a broadcast LEFT ANTI
+      join on the conversation derived from ``src_key`` (every edge's
+      source is a turn vertex ``conv_id#turn``, see
+      :func:`extract_edges`) — the petabyte side is never shuffled.
+
+    Invariant (tested): the result row-set equals a full
+    ``extract_edges(transcripts)`` whenever ``prev_edges`` was a full
+    extraction of the previous snapshot and ``changed_convs`` covers
+    every conversation that differs. With ``with_parallel_keys=True``
+    the ``key`` numbering is per (src, dst) within one extraction run,
+    which only involves a single conversation's edges — so splicing
+    preserves it.
+    """
+    changed = F.broadcast(changed_convs.select("conv_id").distinct())
+    delta_tr = transcripts.join(changed, "conv_id", "left_semi")
+    fresh = extract_edges(delta_tr, **kwargs)
+    # conversation of an edge = src_key prefix before the first '#'
+    # (conv ids must not contain '#' — same assumption concat_ws makes)
+    conv_of = F.get(F.split(F.col("src_key"), "#", 2), 0)
+    kept = prev_edges.join(
+        changed, conv_of == changed["conv_id"], "left_anti"
+    )
+    return kept.unionByName(fresh)
+
+
 def passthrough_turns(transcripts: DataFrame, partitions: int | None = None) -> DataFrame:
     """Run turns through the same partition/sort/carry path as edge
     extraction and emit them unchanged — the per-turn text-equality

@@ -69,6 +69,7 @@ def pagerank(
     weight_col: str = "weight",
     use_csr: bool = False,
     seeds: list | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, PageRankInfo]:
     """Run PageRank on ``edges(src, dst[, weight])``.
 
@@ -89,6 +90,14 @@ def pagerank(
     so Σrank stays exactly 1); the seed list is driver-small and
     compiles to an ``isin`` predicate — no extra join or shuffle per
     superstep.
+    ``init_ranks``: WARM START — initialize the rank vector from a
+    prior result ``(v_id, rank)`` (e.g. yesterday's ranks after a
+    delta ingest). Vertices absent from it start at 1/n; the vector is
+    renormalized to Σ = 1 (one setup aggregate) so the conservation
+    dangling trick holds. The fixpoint is unchanged (power iteration
+    converges to the unique stationary vector from any Σ=1 start) —
+    only the superstep count drops. Ignored when a checkpoint resume
+    is available.
     Returns ``(ranks(v_id, rank), info)``.
     """
     import time
@@ -212,10 +221,29 @@ def pagerank(
 
     check_convergence = tol > 0.0
     start_iter = 0
-    state = verts.select(
-        "v_id",
-        (reset if reset is not None else F.lit(1.0 / n)).alias("rank"),
-    )
+    if init_ranks is not None:
+        # warm start: prior ranks where known, 1/n elsewhere, then
+        # renormalized so Σrank = 1 exactly (the conservation-invariant
+        # dangling computation depends on it)
+        warm = verts.join(
+            init_ranks.select("v_id", F.col("rank").alias("_r0")),
+            "v_id",
+            "left",
+        ).select(
+            "v_id", F.coalesce("_r0", F.lit(1.0 / n)).alias("_r1")
+        )
+        warm = warm.persist()
+        total0 = warm.agg(F.sum("_r1")).collect()[0][0] or 1.0
+        state = warm.select(
+            "v_id", (F.col("_r1") / F.lit(float(total0))).alias("rank")
+        )
+        state = truncate_lineage(state)
+        warm.unpersist()
+    else:
+        state = verts.select(
+            "v_id",
+            (reset if reset is not None else F.lit(1.0 / n)).alias("rank"),
+        )
     if checkpoint is not None:
         resume = checkpoint.latest()
         if resume is not None:

@@ -208,3 +208,43 @@ def test_synth_deterministic(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     c = synth_transcripts(spark, n_convs=50, seed=43)
     assert c.exceptAll(a).count() > 0
+
+
+def test_delta_extraction_equals_full(spark):
+    from cminer_spark.operators import extract_edges_delta
+    from pyspark.sql import functions as F
+
+    t = synth_transcripts(spark, n_convs=120, seed=13).persist()
+    # previous snapshot: conv hash % 4 == 0 conversations are missing
+    # turns >= 2 (grown since), % 4 == 1 are entirely new
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    prev_t = t.where(
+        ((h != 0) & (h != 1)) | ((h == 0) & (F.col("turn_idx") < 2))
+    )
+    prev_edges = extract_edges(prev_t)
+    changed = t.where(h.isin(0, 1)).select("conv_id").distinct()
+    got = extract_edges_delta(t, prev_edges, changed)
+    want = extract_edges(t)
+    cols = ["src", "dst", "type", "key", "src_key", "dst_key"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # no stale rows for grown conversations survive the anti-join
+    stale = got.join(
+        changed, F.get(F.split("src_key", "#", 2), 0) == changed.conv_id
+    )
+    fresh = want.join(
+        changed, F.get(F.split("src_key", "#", 2), 0) == changed.conv_id
+    )
+    assert stale.count() == fresh.count()
+    t.unpersist()
+
+
+def test_delta_extraction_noop_when_nothing_changed(spark):
+    from cminer_spark.operators import extract_edges_delta
+
+    t = synth_transcripts(spark, n_convs=40, seed=3)
+    prev = extract_edges(t)
+    empty = spark.createDataFrame([], "conv_id string")
+    got = extract_edges_delta(t, prev, empty)
+    assert got.count() == prev.count()

@@ -201,3 +201,44 @@ def test_personalized_empty_seeds_raises(spark):
     df = edges_df(spark, [(1, 2)])
     with pytest.raises(ValueError):
         pagerank(df, seeds=[])
+
+
+def test_warm_start_same_fixpoint_fewer_supersteps(spark):
+    import random
+
+    rng = random.Random(17)
+    pairs = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(180)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = edges_df(spark, pairs)
+    cold_ranks, cold = pagerank(df, tol=1e-8, max_iter=200)
+    cold_ranks = cold_ranks.persist()
+    cold_ranks.count()
+    # perturb the graph slightly (drop a few edges) and warm-start
+    # from the stale ranks: same fixpoint, fewer supersteps than cold
+    pairs2 = pairs[:-5]
+    df2 = edges_df(spark, pairs2)
+    warm_ranks, warm = pagerank(df2, tol=1e-8, max_iter=200, init_ranks=cold_ranks)
+    fresh_ranks, fresh = pagerank(df2, tol=1e-8, max_iter=200)
+    got = {r.v_id: r.rank for r in warm_ranks.collect()}
+    want = {r.v_id: r.rank for r in fresh_ranks.collect()}
+    assert set(got) == set(want)
+    a = np.array([got[k] for k in sorted(got)])
+    b = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+    assert abs(a.sum() - 1.0) < 1e-9
+    assert warm.iterations < fresh.iterations
+    cold_ranks.unpersist()
+
+
+def test_warm_start_normalizes_arbitrary_input(spark):
+    # un-normalized / partial init vector: missing vertices get 1/n and
+    # the vector is rescaled to sum 1 before the first superstep
+    pairs = [(i, (i + 1) % 8) for i in range(8)]
+    df = edges_df(spark, pairs)
+    init = spark.createDataFrame(
+        [(0, 100.0), (1, 50.0)], "v_id long, rank double"
+    )
+    ranks, info = pagerank(df, tol=1e-10, max_iter=100, init_ranks=init)
+    vals = np.array([r.rank for r in ranks.collect()])
+    assert np.allclose(vals, 1.0 / 8, atol=1e-8)
+    assert abs(vals.sum() - 1.0) < 1e-9
