@@ -86,6 +86,30 @@ def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(t).select("src_key", "dst_key", "type")
 
 
+def _q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components on the bounded-diameter
+    bipartite purchase graph: exact CC over the event_id % 3 != 0
+    edges, then the % 3 == 0 delta spliced in via
+    incremental_components — must equal the oracle's converged
+    hash-min labeling of the full graph."""
+    from cminer_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    t = gate.transcripts_df(spark, sf_dir)
+    be = t.where(F.col("tool").isNotNull()).select(
+        F.col("user_id").alias("src"),
+        (F.lit(1_000_000_000) + F.col("event_id") % 7).alias("dst"),
+        "event_id",
+    )
+    base = be.where(F.col("event_id") % 3 != 0).select("src", "dst")
+    delta = be.where(F.col("event_id") % 3 == 0).select("src", "dst")
+    prev, _ = connected_components(base)
+    labels, _ = incremental_components(prev, delta)
+    return labels
+
+
 def _q_edge_extract_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental extraction: the 'previous snapshot' lacks every
     turn with turn_idx >= 2 of the user_id % 5 == 0 conversations (so
@@ -680,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "assortativity_out_in": _q_assortativity,
         "connected_components_k10": _q_cc,
+        "cc_incremental": _q_cc_incremental,
         "scc": _q_scc,
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec,
@@ -730,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": gate.degree_histogram_oracle_sql(),
         "assortativity_out_in": gate.assortativity_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
+        "cc_incremental": gate.cc_incremental_oracle_sql(),
         "scc": gate.scc_oracle_sql(),
         "random_walks": gate.random_walks_oracle_sql(),
         "node2vec_walks": gate.node2vec_oracle_sql(),

@@ -333,6 +333,59 @@ l{i} AS (SELECT l.v_id, least(l.component, coalesce(mn.m, l.component)) AS compo
     return _materialize("".join(parts))
 
 
+# Bounded-diameter gate graph for the INCREMENTAL CC gate: the
+# user–tool bipartite purchase graph (diameter ≤ ~6 through the 7 tool
+# hubs), so a short unrolled hash-min chain reaches the exact
+# components — unlike the turn-chain graph, where 10 rounds don't
+# saturate (measured: 4441 label mismatches vs exact at sf0.01).
+BIPARTITE_CTE = (
+    TRANSCRIPTS_CTE
+    + """,
+bedges AS (
+  SELECT user_id AS src,
+         1000000000 + (event_id % 7) AS dst,
+         event_id
+  FROM tr WHERE tool IS NOT NULL
+),
+bverts AS (
+  SELECT src AS v FROM bedges UNION SELECT dst AS v FROM bedges
+),
+bsym AS (
+  SELECT src AS u, dst AS v FROM bedges
+  UNION
+  SELECT dst AS u, src AS v FROM bedges
+)
+"""
+)
+
+CC_INCR_ROUNDS = 8
+
+
+def cc_incremental_oracle_sql(k: int = CC_INCR_ROUNDS) -> str:
+    """Exact components of the bipartite purchase graph via a k-round
+    hash-min unroll (k ≥ its diameter, so this IS the converged
+    labeling). The Spark side computes the same labeling
+    incrementally: exact CC on the event_id % 3 != 0 edges, then
+    :func:`~cminer_spark.operators.components.incremental_components`
+    splices in the % 3 == 0 delta — so the gate checks the
+    contract-solve-compose path end to end."""
+    parts = [
+        f"WITH {BIPARTITE_CTE}",
+        """,
+bl0 AS (SELECT v AS v_id, v AS component FROM bverts)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+bmn{i} AS (SELECT s.v AS v_id, min(x.component) AS m
+           FROM bsym s JOIN bl{i-1} x ON s.u = x.v_id GROUP BY s.v),
+bl{i} AS (SELECT l.v_id, least(l.component, coalesce(mn.m, l.component)) AS component
+          FROM bl{i-1} l LEFT JOIN bmn{i} mn ON l.v_id = mn.v_id)"""
+        )
+    parts.append(f"\nSELECT v_id, component FROM bl{k}")
+    return _materialize("".join(parts))
+
+
 def _lpa_ctes(k: int) -> str:
     """Unrolled LPA CTE chain ending in ``lab{k}(v_id, label)`` —
     shared by the LPA gate and the modularity gate (which scores the

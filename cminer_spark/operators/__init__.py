@@ -14,7 +14,11 @@ from cminer_spark.operators.graph import (
 from cminer_spark.operators.pagerank import pagerank
 from cminer_spark.operators.hits import hits
 from cminer_spark.operators.katz import katz
-from cminer_spark.operators.components import connected_components, hashmin_components
+from cminer_spark.operators.components import (
+    connected_components,
+    hashmin_components,
+    incremental_components,
+)
 from cminer_spark.operators.lpa import label_propagation
 from cminer_spark.operators.scc import strongly_connected_components
 from cminer_spark.operators.sampling import sample_neighborhoods
@@ -49,6 +53,7 @@ __all__ = [
     "hits",
     "connected_components",
     "hashmin_components",
+    "incremental_components",
     "strongly_connected_components",
     "random_walks",
     "node2vec_walks",

@@ -156,6 +156,82 @@ def connected_components(
     return labels, info
 
 
+def incremental_components(
+    prev_labels: DataFrame,
+    delta_edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, CCInfo]:
+    """ADD-ONLY incremental connected components: given the previous
+    labeling ``prev_labels(v_id, component)`` and a batch of NEW edges,
+    produce the labeling of the grown graph without touching the old
+    edge set.
+
+    The daily-ingest companion to
+    :func:`~cminer_spark.operators.edges.extract_edges_delta`: contract
+    each delta edge by the previous labels (an old component is already
+    connected, so its label stands in for all its members), solve CC on
+    the contracted graph — O(|delta|) edges, regardless of graph size —
+    and compose. Because the previous label IS the component's minimum
+    member id, the composed labels are bit-identical to a full
+    recompute (tested), not merely consistent.
+
+    Scale shape: the only joins against full-graph-sized frames are
+    (a) delta endpoints looking up their previous label and (b) the
+    old labeling re-mapped through the merge mapping — both with a
+    BROADCAST delta-derived side, so the |V|-sized frame never
+    shuffles. Edge DELETIONS invalidate the contraction (a removed
+    edge can split a component) — recompute with
+    :func:`connected_components` for those.
+    """
+    l_ = prev_labels.select("v_id", "component")
+    d = delta_edges.select("src", "dst")
+    # contract: endpoint -> previous label (new vertices keep their id)
+    contracted = (
+        d.join(
+            l_.select(
+                F.col("v_id").alias("src"), F.col("component").alias("_cu")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            l_.select(
+                F.col("v_id").alias("dst"), F.col("component").alias("_cv")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("_cu", F.col("src")).alias("src"),
+            F.coalesce("_cv", F.col("dst")).alias("dst"),
+        )
+    )
+    sub_labels, info = connected_components(
+        contracted, vertices=vertices, max_rounds=max_rounds
+    )
+    sub_labels = F.broadcast(sub_labels)
+    # old vertices: re-map through the merge mapping (old label -> new)
+    old_final = (
+        l_.join(
+            sub_labels.select(
+                F.col("v_id").alias("component"), F.col("component").alias("_c2")
+            ),
+            "component",
+            "left",
+        )
+        .select("v_id", F.coalesce("_c2", "component").alias("component"))
+    )
+    # vertices first seen in the delta (their id is not a previous
+    # vertex): labeled directly by the contracted solve
+    new_final = sub_labels.join(
+        l_.select("v_id"), "v_id", "left_anti"
+    ).select("v_id", "component")
+    labels = old_final.unionByName(new_final)
+    info.n_components = labels.select("component").distinct().count()
+    return labels, info
+
+
 def hashmin_components(
     edges: DataFrame,
     rounds: int,

@@ -87,3 +87,45 @@ def test_cc_resume_equals_fresh(spark, tmp_ckpt):
     resumed, info = connected_components(df, checkpoint=ck)
     assert info.resumed_from == 2
     assert _got_components(fresh) == _got_components(resumed)
+
+
+def _labels(df):
+    return {r.v_id: r.component for r in df.collect()}
+
+
+def test_incremental_equals_full_recompute(spark):
+    from cminer_spark.operators import incremental_components
+
+    rng = random.Random(23)
+    base = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(60)})
+    base = [p for p in base if p[0] != p[1]]
+    # delta: merges two existing components, adds brand-new vertices
+    # (60-64 chain hooked onto vertex 0), and an intra-component edge
+    delta = [(60, 61), (61, 62), (62, 0), (63, 64)] + [
+        p for p in [(1, 40), (2, 3)] if p not in base
+    ]
+    prev, _ = connected_components(edges_df(spark, base))
+    got, info = incremental_components(prev, edges_df(spark, delta))
+    want, _ = connected_components(edges_df(spark, base + delta))
+    assert _labels(got) == _labels(want)
+    assert info.n_components == len(set(_labels(want).values()))
+
+
+def test_incremental_no_delta_changes_nothing(spark):
+    from cminer_spark.operators import incremental_components
+
+    base = [(0, 1), (1, 2), (5, 6)]
+    prev, _ = connected_components(edges_df(spark, base))
+    empty = spark.createDataFrame([], "src long, dst long")
+    got, _ = incremental_components(prev, empty)
+    assert _labels(got) == _labels(prev)
+
+
+def test_incremental_labels_stay_canonical_min(spark):
+    from cminer_spark.operators import incremental_components
+
+    # two components {5,6} and {7,8}; a new vertex 1 bridges them:
+    # the merged component's label must become 1 (the new minimum)
+    prev, _ = connected_components(edges_df(spark, [(5, 6), (7, 8)]))
+    got, _ = incremental_components(prev, edges_df(spark, [(1, 5), (1, 7)]))
+    assert set(_labels(got).values()) == {1}
