@@ -26,6 +26,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from cminer_spark import get_spark  # noqa: E402
 from cminer_spark import gate  # noqa: E402
 from cminer_spark.operators import (  # noqa: E402
@@ -167,6 +169,50 @@ def main() -> None:
         n_synth_edges * info2.iterations / queries["pagerank8_synth"], 1
     )
 
+    # incremental ingest path: 1/16 of conversations grew since the
+    # previous snapshot — delta re-extraction + incremental CC +
+    # warm-start PageRank, vs their full-recompute twins above
+    from cminer_spark.operators import (
+        extract_edges_delta,
+        incremental_components,
+    )
+
+    conv_h = F.pmod(F.xxhash64("conv_id"), F.lit(16))
+    prev_t = t.where((conv_h != 0) | (F.col("turn_idx") < 3))
+    prev_edges_inc = extract_edges(prev_t).persist()
+    prev_edges_inc.count()
+    changed = t.where(conv_h == 0).select("conv_id").distinct()
+    timed(
+        "edge_extract_delta_synth",
+        lambda: extract_edges_delta(t, prev_edges_inc, changed).count(),
+        passes=2,
+    )
+    prev_cc, _ = connected_components(
+        prev_edges_inc.select("src", "dst")
+    )
+    prev_cc = prev_cc.persist()
+    prev_cc.count()
+    delta_e = (
+        synth_edges.join(F.broadcast(changed), F.get(
+            F.split("src_key", "#", 2), 0
+        ) == changed["conv_id"]).select("src", "dst").persist()
+    )
+    delta_e.count()
+    timed(
+        "cc_incremental_synth",
+        lambda: incremental_components(prev_cc, delta_e)[0].count(),
+        passes=2,
+    )
+    timed(
+        "cc_full_synth",
+        lambda: connected_components(synth_edges.select("src", "dst"))[
+            0
+        ].count(),
+    )
+    prev_edges_inc.unpersist()
+    prev_cc.unpersist()
+    delta_e.unpersist()
+
     # degree-capped Jaccard on the hub-heavy synth graph: the wedge
     # count stays bounded even though hub tools carry ~50% of invokes
     # (uncapped, one hub of degree d materializes d^2 wedge rows)
@@ -217,8 +263,6 @@ def main() -> None:
     # (5k/2k rows — fixed-cost, not throughput), so dedup runs over the
     # ~1.2M synthetic turn texts and ANN over a derived 200k-vector
     # table; both are pure JVM-expression paths.
-    from pyspark.sql import functions as F
-
     from cminer_spark.pipeline import (
         ivf_topk,
         minhash_lsh_candidates,
