@@ -151,11 +151,35 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--lpa-rounds", type=int, default=10)
     ap.add_argument("--master", default=None)
+    # incremental-ingest surface: yesterday's artifacts in, today's out
+    ap.add_argument(
+        "--prev-edges",
+        help="previous edge table ref: with --transcripts and "
+        "--changed-convs, extraction runs incrementally "
+        "(extract_edges_delta) instead of over the full corpus",
+    )
+    ap.add_argument(
+        "--changed-convs",
+        help="table ref with a conv_id column listing conversations "
+        "that gained turns since --prev-edges was built",
+    )
+    ap.add_argument(
+        "--init-ranks",
+        help="prior (v_id, rank) table ref: pagerank warm start",
+    )
+    ap.add_argument(
+        "--prev-labels",
+        help="prior (v_id, component) table ref: components treats the "
+        "input edge table as an ADD-ONLY DELTA and splices "
+        "(incremental_components)",
+    )
     args = ap.parse_args(argv)
 
     from cminer_spark.operators import (
         connected_components,
         extract_edges,
+        extract_edges_delta,
+        incremental_components,
         label_propagation,
         pagerank,
         triangle_counts,
@@ -164,7 +188,15 @@ def main(argv: list[str] | None = None) -> int:
     from cminer_spark.sources.tables import read_table, write_table
 
     spark, owned = _session("cminer-run", args.master)
-    if args.edges:
+    if args.transcripts and args.prev_edges:
+        if not args.changed_convs:
+            ap.error("--prev-edges needs --changed-convs (and --transcripts)")
+        edges = extract_edges_delta(
+            read_table(spark, args.transcripts),
+            read_table(spark, args.prev_edges),
+            read_table(spark, args.changed_convs),
+        )
+    elif args.edges:
         edges = read_table(spark, args.edges)
     elif args.transcripts:
         edges = extract_edges(read_table(spark, args.transcripts))
@@ -184,6 +216,11 @@ def main(argv: list[str] | None = None) -> int:
             tol=args.tol,
             max_iter=args.max_iter,
             checkpoint=ck,
+            init_ranks=(
+                read_table(spark, args.init_ranks)
+                if args.init_ranks
+                else None
+            ),
         )
         meta.update(
             iterations=info.iterations,
@@ -193,7 +230,12 @@ def main(argv: list[str] | None = None) -> int:
             salted=info.salted,
         )
     elif args.algorithm == "components":
-        out, cinfo = connected_components(edges, checkpoint=ck)
+        if args.prev_labels:
+            out, cinfo = incremental_components(
+                read_table(spark, args.prev_labels), edges
+            )
+        else:
+            out, cinfo = connected_components(edges, checkpoint=ck)
         meta.update(rounds=cinfo.rounds, n_components=cinfo.n_components)
     elif args.algorithm == "lpa":
         out, linfo = label_propagation(

@@ -50,13 +50,19 @@ def katz(
     beta: float = 1.0,
     max_iter: int = 20,
     tol: float = 0.0,
+    init_scores: DataFrame | None = None,
 ) -> tuple[DataFrame, KatzInfo]:
     """Returns ``((v_id, katz), info)`` — unnormalized Katz scores
     (``katz = beta`` exactly for vertices with no in-edges).
 
     ``tol > 0`` stops early when the L1 delta between supersteps drops
     below it; ``tol == 0`` runs exactly ``max_iter`` supersteps (the
-    oracle-checkable mode).
+    oracle-checkable mode). ``init_scores`` (``(v_id, katz)``) WARM
+    STARTS the iteration — e.g. from yesterday's scores after a delta
+    ingest; the update ``x ← β + α·Aᵀx`` is a contraction for
+    ``α < 1/λ_max``, so the fixpoint is unchanged and only the
+    superstep count drops (vertices absent from it start at β). Only
+    meaningful with ``tol > 0``.
     """
     adj = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -73,7 +79,18 @@ def katz(
     info = KatzInfo(n_vertices=verts.count())
 
     store = EphemeralStateStore(edges.sparkSession, "katz")
-    x = verts.withColumn("katz", F.lit(float(beta)))
+    if init_scores is not None:
+        x = truncate_lineage(
+            verts.join(
+                init_scores.select("v_id", F.col("katz").alias("_k0")),
+                "v_id",
+                "left",
+            ).select(
+                "v_id", F.coalesce("_k0", F.lit(float(beta))).alias("katz")
+            )
+        )
+    else:
+        x = verts.withColumn("katz", F.lit(float(beta)))
     for i in range(max_iter):
         msgs = (
             adj.join(x.hint("shuffle_hash"), adj["src"] == x["v_id"])

@@ -1,0 +1,96 @@
+"""End-to-end CLI drive of the incremental ingest flow: delta
+extraction + warm-start PageRank + incremental components through
+``python -m cminer_spark``-style main() invocations on parquet
+artifacts, matching their full-recompute twins."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cminer_spark.__main__ import main
+from cminer_spark.operators import extract_edges
+from cminer_spark.synth import synth_transcripts
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_incremental_flow(spark, tmp_path, capsys):
+    base = str(tmp_path)
+    t = synth_transcripts(spark, n_convs=80, seed=19)
+    t.write.parquet(f"{base}/tr_full")
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    t.where((h != 0) | (F.col("turn_idx") < 2)).write.parquet(
+        f"{base}/tr_prev"
+    )
+    t.where(h == 0).select("conv_id").distinct().write.parquet(
+        f"{base}/changed"
+    )
+    extract_edges(spark.read.parquet(f"{base}/tr_prev")).write.parquet(
+        f"{base}/edges_prev"
+    )
+
+    # full runs: pagerank + components over the full corpus
+    meta_full = _run(
+        capsys,
+        ["--transcripts", f"{base}/tr_full", "--algorithm", "pagerank",
+         "--tol", "1e-8", "--output", f"{base}/ranks_full"],
+    )
+    _run(
+        capsys,
+        ["--transcripts", f"{base}/tr_full", "--algorithm", "components",
+         "--output", f"{base}/cc_full"],
+    )
+    # previous-day artifacts to warm from
+    _run(
+        capsys,
+        ["--edges", f"{base}/edges_prev", "--algorithm", "pagerank",
+         "--tol", "1e-8", "--output", f"{base}/ranks_prev"],
+    )
+    _run(
+        capsys,
+        ["--edges", f"{base}/edges_prev", "--algorithm", "components",
+         "--output", f"{base}/cc_prev"],
+    )
+
+    # incremental runs: delta extraction + warm start / label splice
+    meta_warm = _run(
+        capsys,
+        ["--transcripts", f"{base}/tr_full",
+         "--prev-edges", f"{base}/edges_prev",
+         "--changed-convs", f"{base}/changed",
+         "--algorithm", "pagerank", "--tol", "1e-8",
+         "--init-ranks", f"{base}/ranks_prev",
+         "--output", f"{base}/ranks_warm"],
+    )
+    # the delta edge table for incremental components
+    full_e = extract_edges(t)
+    changed = spark.read.parquet(f"{base}/changed")
+    full_e.join(
+        F.broadcast(changed),
+        F.get(F.split("src_key", "#", 2), 0) == changed.conv_id,
+    ).select("src", "dst").write.parquet(f"{base}/edges_delta")
+    _run(
+        capsys,
+        ["--edges", f"{base}/edges_delta", "--algorithm", "components",
+         "--prev-labels", f"{base}/cc_prev",
+         "--output", f"{base}/cc_incr"],
+    )
+
+    # warm pagerank reached the same fixpoint in fewer supersteps
+    full = {r.v_id: r.rank for r in spark.read.parquet(f"{base}/ranks_full").collect()}
+    warm = {r.v_id: r.rank for r in spark.read.parquet(f"{base}/ranks_warm").collect()}
+    assert set(full) == set(warm)
+    assert max(abs(full[k] - warm[k]) for k in full) < 1e-6
+    assert meta_warm["iterations"] < meta_full["iterations"]
+
+    # incremental components match the full recompute exactly
+    cf = {r.v_id: r.component for r in spark.read.parquet(f"{base}/cc_full").collect()}
+    ci = {r.v_id: r.component for r in spark.read.parquet(f"{base}/cc_incr").collect()}
+    assert cf == ci

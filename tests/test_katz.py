@@ -53,3 +53,22 @@ def test_katz_self_loop_geometric(spark):
     got = scores.collect()[0]
     assert abs(got.katz - 2.0) < 1e-6
     assert info.converged
+
+
+def test_warm_start_same_fixpoint_fewer_supersteps(spark):
+    import random
+
+    rng = random.Random(31)
+    pairs = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    cold_x, cold = katz(df, alpha=0.05, tol=1e-9, max_iter=100)
+    cold_x = cold_x.persist()
+    cold_x.count()
+    warm_x, warm = katz(df, alpha=0.05, tol=1e-9, max_iter=100, init_scores=cold_x)
+    a = {r.v_id: r.katz for r in warm_x.collect()}
+    b = {r.v_id: r.katz for r in cold_x.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-7
+    assert warm.iterations < cold.iterations
+    cold_x.unpersist()
