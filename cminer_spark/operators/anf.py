@@ -168,8 +168,12 @@ def anf_sketch(
             return spark.createDataFrame(out, "h int, n_pairs_est double")
         prev = float(n_vertices)
         for h in range(1, max_h + 1):
+            # shuffle_hash: the state side is a parquet scan with
+            # unknown stats — Catalyst would otherwise pick a
+            # sort-merge join and re-sort the adjacency every hop
             msgs = sym.join(
-                state.withColumnRenamed("v_id", "u"), "u"
+                state.withColumnRenamed("v_id", "u").hint("shuffle_hash"),
+                "u",
             ).select(F.col("v").alias("v_id"), *cols)
             combined = (
                 state.unionByName(msgs)
