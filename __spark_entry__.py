@@ -426,6 +426,21 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv
 
 
+def _q_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle counting: count the base graph
+    ((src + dst) % 3 != 0 edges), then splice the remaining edges in
+    via incremental_triangles — per-vertex counts must equal the
+    full-graph oracle (same SQL as triangles_per_vertex)."""
+    from cminer_spark.operators.triangles import incremental_triangles
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    base = edges.where((F.col("src") + F.col("dst")) % 3 != 0)
+    delta = edges.where((F.col("src") + F.col("dst")) % 3 == 0)
+    prev_pv, prev_total = triangle_counts(base)
+    pv, _total = incremental_triangles(prev_pv, prev_total, base, delta)
+    return pv
+
+
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = jaccard_similarity(gate.gate_edges_df(spark, sf_dir))
     return sim.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
@@ -716,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "triangles_incremental": _q_triangles_incremental,
         "jaccard_similarity": _q_jaccard,
         "match_wedge": _q_match_wedge,
         "match_path3": _q_match_path3,
@@ -767,6 +783,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
+        # incremental splice must equal the full recount — same oracle
+        "triangles_incremental": gate.triangles_per_vertex_oracle_sql(),
         "match_wedge": gate.match_wedge_oracle_sql(),
         "match_path3": gate.match_path3_oracle_sql(),
         "match_props": gate.match_props_oracle_sql(),

@@ -109,6 +109,152 @@ def triangle_stats(
     return stats
 
 
+def incremental_triangles(
+    prev_counts: DataFrame,
+    prev_total: int,
+    prev_edges: DataFrame,
+    delta_edges: DataFrame,
+) -> tuple[DataFrame, int]:
+    """ADD-ONLY incremental triangle counting: given the previous
+    per-vertex counts + total and the previous edge table, count only
+    the triangles CREATED by ``delta_edges`` and compose — exact, equal
+    to a full recount (tested), without re-enumerating old wedges.
+
+    The per-ingest companion to ``extract_edges_delta`` /
+    ``incremental_components`` / ``pagerank(init_ranks=...)``. Work
+    scales with Σ min-degree over the new simple edges, not with |E|:
+
+    * each NEW simple edge expands wedges from its LOWER-degree
+      endpoint only (edge-iterator bound — a delta edge touching a hub
+      expands from the other side);
+    * a created triangle containing several new edges is counted
+      exactly once, at its minimum new edge in canonical (a, b) tuple
+      order (the tag joins run against the broadcast-small new-edge
+      frame);
+    * delta rows that are parallel duplicates of existing edges add no
+      simple edge and correctly contribute nothing.
+    """
+    spark = prev_edges.sparkSession
+    p = _undirected_simple(prev_edges).persist()
+    new_e = (
+        _undirected_simple(delta_edges)
+        .join(p, ["a", "b"], "left_anti")
+        .persist()
+    )
+    full = p.union(new_e).persist()
+
+    deg = (
+        full.select(F.col("a").alias("v"))
+        .union(full.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ne = (
+        new_e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            ).otherwise(F.col("b")).alias("pivot"),
+        )
+        .withColumn(
+            "other",
+            F.when(F.col("pivot") == F.col("a"), F.col("b")).otherwise(
+                F.col("a")
+            ),
+        )
+    )
+
+    sym = full.select(F.col("a").alias("u"), F.col("b").alias("w")).union(
+        full.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    # wedges from the low-degree endpoint of each new edge ...
+    cand = (
+        ne.join(sym, ne["pivot"] == sym["u"])
+        .where(F.col("w") != F.col("other"))
+        .select("a", "b", "other", "w")
+    )
+    # ... closed by any full edge between the wedge tips
+    closing = full.select(F.col("a").alias("_cx"), F.col("b").alias("_cy"))
+    tris = cand.join(
+        closing,
+        (F.least("other", "w") == F.col("_cx"))
+        & (F.greatest("other", "w") == F.col("_cy")),
+        "left_semi",
+    )
+
+    # count each created triangle once: at its minimum new edge in
+    # canonical tuple order. The triangle found from new edge (a, b)
+    # with third corner w survives iff neither (a,w) nor (b,w) is a
+    # SMALLER new edge.
+    ab = F.struct(F.col("a").alias("x"), F.col("b").alias("y"))
+    aw = F.struct(
+        F.least("a", "w").alias("x"), F.greatest("a", "w").alias("y")
+    )
+    bw = F.struct(
+        F.least("b", "w").alias("x"), F.greatest("b", "w").alias("y")
+    )
+    tagged_new = F.broadcast(
+        new_e.select(
+            F.struct(F.col("a").alias("x"), F.col("b").alias("y")).alias("_ne")
+        )
+    )
+    tris = (
+        tris.withColumn("_ab", ab)
+        .withColumn("_aw", aw)
+        .withColumn("_bw", bw)
+        .join(
+            tagged_new.select(F.col("_ne").alias("_aw"), F.lit(True).alias("_naw")),
+            "_aw",
+            "left",
+        )
+        .join(
+            tagged_new.select(F.col("_ne").alias("_bw"), F.lit(True).alias("_nbw")),
+            "_bw",
+            "left",
+        )
+        .where(
+            ~(F.coalesce("_naw", F.lit(False)) & (F.col("_aw") < F.col("_ab")))
+            & ~(F.coalesce("_nbw", F.lit(False)) & (F.col("_bw") < F.col("_ab")))
+        )
+        .select("a", "b", "w")
+        .persist()
+    )
+    n_new_tris = tris.count()
+
+    per_corner = (
+        tris.select(F.col("a").alias("v_id"))
+        .union(tris.select(F.col("b").alias("v_id")))
+        .union(tris.select(F.col("w").alias("v_id")))
+        .groupBy("v_id")
+        .agg(F.count(F.lit(1)).alias("_add"))
+    )
+    all_v = full.select(F.col("a").alias("v_id")).union(
+        full.select(F.col("b").alias("v_id"))
+    ).distinct()
+    out = (
+        all_v.join(prev_counts.select("v_id", "triangles"), "v_id", "left")
+        .join(per_corner, "v_id", "left")
+        .select(
+            "v_id",
+            (
+                F.coalesce("triangles", F.lit(0))
+                + F.coalesce("_add", F.lit(0))
+            ).cast("long").alias("triangles"),
+        )
+    )
+    from cminer_spark.plans.checkpoint import truncate_lineage
+
+    out = truncate_lineage(out)
+    for df in (p, new_e, full, tris):
+        df.unpersist()
+    return out, prev_total + n_new_tris
+
+
 def triangle_counts(
     edges: DataFrame, vertices: DataFrame | None = None
 ) -> tuple[DataFrame, int]:

@@ -82,3 +82,55 @@ def test_triangles_cycle_has_none(spark):
     pairs = [(i, (i + 1) % n) for i in range(n)]
     _, total = triangle_counts(edges_df(spark, pairs))
     assert total == 0
+
+
+def _tri_map(df):
+    return {r.v_id: r.triangles for r in df.collect()}
+
+
+def test_incremental_triangles_equals_full(spark):
+    from cminer_spark.operators.triangles import incremental_triangles
+
+    rng = random.Random(11)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(140)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    base, delta = pairs[: len(pairs) * 3 // 4], pairs[len(pairs) * 3 // 4 :]
+    # plant a fully-new triangle (3 new edges, corners partly new) and
+    # a duplicate of an existing edge (must contribute nothing)
+    delta += [(100, 101), (101, 102), (100, 102)] + base[:1]
+    prev_pv, prev_total = triangle_counts(edges_df(spark, base))
+    got_pv, got_total = incremental_triangles(
+        prev_pv, prev_total, edges_df(spark, base), edges_df(spark, delta)
+    )
+    want_pv, want_total = triangle_counts(edges_df(spark, base + delta))
+    assert got_total == want_total
+    assert _tri_map(got_pv) == _tri_map(want_pv)
+
+
+def test_incremental_triangles_empty_delta(spark):
+    from cminer_spark.operators.triangles import incremental_triangles
+
+    base = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    prev_pv, prev_total = triangle_counts(edges_df(spark, base))
+    empty = spark.createDataFrame([], "src long, dst long")
+    got_pv, got_total = incremental_triangles(
+        prev_pv, prev_total, edges_df(spark, base), empty
+    )
+    assert got_total == prev_total == 1
+    assert _tri_map(got_pv) == _tri_map(prev_pv)
+
+
+def test_incremental_triangles_hub_delta(spark):
+    from cminer_spark.operators.triangles import incremental_triangles
+
+    # delta edge touches a hub: wedges must expand from the light side
+    # and the count must still be exact
+    base = [(0, i) for i in range(2, 40)] + [(2, 3), (4, 5)]
+    delta = [(1, 0), (1, 2), (1, 3)]  # 1-0 hub edge; triangle 1-2-3? no: needs 2-3 and 1-2,1-3 -> yes
+    prev_pv, prev_total = triangle_counts(edges_df(spark, base))
+    got_pv, got_total = incremental_triangles(
+        prev_pv, prev_total, edges_df(spark, base), edges_df(spark, delta)
+    )
+    want_pv, want_total = triangle_counts(edges_df(spark, base + delta))
+    assert got_total == want_total
+    assert _tri_map(got_pv) == _tri_map(want_pv)
