@@ -86,6 +86,18 @@ def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(t).select("src_key", "dst_key", "type")
 
 
+def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-contract validation over a deterministically corrupted
+    transcripts frame (gate.CORRUPT_CTE): the operator's one-pass
+    violation counters must match the SQL mirror exactly."""
+    from cminer_spark.sources.validate import validate_transcripts
+
+    gate._register_events(spark, sf_dir)
+    vt = spark.sql(f"WITH {gate.CORRUPT_CTE} SELECT * FROM vt")
+    out = validate_transcripts(vt)
+    return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
+
+
 def _q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components on the bounded-diameter
     bipartite purchase graph: exact CC over the event_id % 3 != 0
@@ -704,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_extract": _q_edge_extract,
         "edge_extract_delta": _q_edge_extract_delta,
+        "validate_transcripts": _q_validate_transcripts,
         "degrees": _q_degrees,
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,
@@ -756,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_extract": gate.edge_extract_oracle_sql(),
         # delta splice must equal a FULL extraction — same oracle
         "edge_extract_delta": gate.edge_extract_oracle_sql(),
+        "validate_transcripts": gate.validate_oracle_sql(),
         "degrees": gate.degrees_oracle_sql(),
         "degrees_by_type": gate.degrees_by_type_oracle_sql(),
         "pagerank_k5": gate.pagerank_oracle_sql(),

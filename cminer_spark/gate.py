@@ -655,6 +655,58 @@ vis{i} AS (SELECT v_id FROM vis{i-1}
     return _materialize("".join(parts))
 
 
+# Deterministically corrupted transcripts for the validation gate:
+# event_id % 97 shifts turn_idx (creating duplicates AND gaps),
+# % 89 injects an out-of-vocabulary role, % 83 nulls conv_id.
+CORRUPT_CTE = (
+    TRANSCRIPTS_CTE
+    + """,
+vt AS (
+  SELECT CASE WHEN event_id % 83 = 0 THEN NULL ELSE conv_id END AS conv_id,
+         CASE WHEN event_id % 97 = 0 THEN turn_idx + 1 ELSE turn_idx END AS turn_idx,
+         CASE WHEN event_id % 89 = 0 THEN 'robot' ELSE role END AS role,
+         ts
+  FROM tr
+)
+"""
+)
+
+
+def validate_oracle_sql() -> str:
+    """Violation counts over the corrupted frame — mirrors
+    ``sources/validate.py`` exactly (same window order, same
+    dense-from-0 predicate)."""
+    return _materialize(
+        f"WITH {CORRUPT_CTE}"
+        """,
+keyed AS (SELECT * FROM vt WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
+pr AS (SELECT conv_id, turn_idx,
+              (ts < lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)) AS regr
+       FROM keyed),
+pc AS (SELECT conv_id, count(*) AS n, count(DISTINCT turn_idx) AS nd,
+              max(turn_idx) AS mx, min(turn_idx) AS mn,
+              sum(CASE WHEN regr THEN 1 ELSE 0 END) AS regrs
+       FROM pr GROUP BY conv_id),
+cs AS (SELECT count(*) AS n_convs, sum(n - nd) AS n_dup_turns,
+              sum(CASE WHEN mn <> 0 OR nd <> mx + 1 THEN 1 ELSE 0 END) AS n_gap_convs,
+              sum(regrs) AS n_ts_regressions
+       FROM pc),
+rs AS (SELECT count(*) AS n_rows,
+              sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS n_null_conv_id,
+              sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS n_null_turn_idx,
+              sum(CASE WHEN role IS NULL
+                         OR role NOT IN ('user','assistant','system','tool')
+                       THEN 1 ELSE 0 END) AS n_bad_role
+       FROM vt)
+SELECT n_rows, n_convs, n_null_conv_id, n_null_turn_idx,
+       coalesce(n_dup_turns, 0) AS n_dup_turns,
+       coalesce(n_gap_convs, 0) AS n_gap_convs,
+       coalesce(n_ts_regressions, 0) AS n_ts_regressions,
+       n_bad_role
+FROM rs, cs"""
+    )
+
+
 def anf_exact_oracle_sql() -> str:
     """Exact neighborhood function N(h), h = 1..2, on the gate graph:
     ordered pairs (u, v), u != v, within h hops of each other over the

@@ -5,6 +5,7 @@ from cminer_spark.sources.data_format import (
     parse_pattern_text,
 )
 from cminer_spark.sources.graph_loaders import read_csv_graph_db, read_json_graph
+from cminer_spark.sources.validate import VALID_ROLES, validate_transcripts
 
 __all__ = [
     "read_data_db",
@@ -13,4 +14,6 @@ __all__ = [
     "parse_pattern_text",
     "read_csv_graph_db",
     "read_json_graph",
+    "VALID_ROLES",
+    "validate_transcripts",
 ]
