@@ -6,6 +6,7 @@ from cminer_spark.sources.data_format import (
 )
 from cminer_spark.sources.graph_loaders import read_csv_graph_db, read_json_graph
 from cminer_spark.sources.validate import VALID_ROLES, validate_transcripts
+from cminer_spark.sources.bucketed import read_bucketed_edges, write_bucketed_edges
 
 __all__ = [
     "read_data_db",
@@ -16,4 +17,6 @@ __all__ = [
     "read_json_graph",
     "VALID_ROLES",
     "validate_transcripts",
+    "read_bucketed_edges",
+    "write_bucketed_edges",
 ]

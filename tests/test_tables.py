@@ -61,3 +61,33 @@ def test_iceberg_write_read_roundtrip(spark, tmp_path):
     df = spark.range(5).selectExpr("id AS v_id", "id / 5.0 AS rank")
     write_table(df, "iceberg:ice.db.seam_rt")
     assert read_table(spark, "iceberg:ice.db.seam_rt").count() == 5
+
+
+def test_bucketed_edges_skip_exchange(spark, tmp_path):
+    """A src-bucketed edge table feeds groupBy(src) and src-joins with
+    NO Exchange in the plan — the write-once shuffle is reused."""
+    from pyspark.sql import functions as F
+
+    from cminer_spark.sources import read_bucketed_edges, write_bucketed_edges
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50, 1.0) for i in range(400)],
+        "src long, dst long, weight double",
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_edges_test")
+    write_bucketed_edges(edges, "bkt_edges_test", buckets=8)
+    try:
+        back = read_bucketed_edges(spark, "bkt_edges_test")
+        assert back.count() == 400
+        agg = back.groupBy("src").agg(F.sum("weight").alias("w"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # values round-trip
+        want = {
+            (r.src, r.w)
+            for r in edges.groupBy("src").agg(F.sum("weight").alias("w")).collect()
+        }
+        got = {(r.src, r.w) for r in agg.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_edges_test")
