@@ -86,6 +86,23 @@ def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(t).select("src_key", "dst_key", "type")
 
 
+def _q_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 position movers between the base graph's in-degree
+    ranking and the full graph's — integer scores keep the gate
+    hash-stable; ties break deterministically by v_id."""
+    from cminer_spark.operators.stats import rank_churn
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    base = edges.where((F.col("src") + F.col("dst")) % 3 != 0)
+
+    def in_deg(e):
+        return e.groupBy(F.col("dst").alias("v_id")).agg(
+            F.count(F.lit(1)).alias("rank")
+        )
+
+    return rank_churn(in_deg(base), in_deg(edges), k=50)
+
+
 def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Input-contract validation over a deterministically corrupted
     transcripts frame (gate.CORRUPT_CTE): the operator's one-pass
@@ -717,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_extract": _q_edge_extract,
         "edge_extract_delta": _q_edge_extract_delta,
         "validate_transcripts": _q_validate_transcripts,
+        "rank_churn_top50": _q_rank_churn,
         "degrees": _q_degrees,
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,
@@ -770,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         # delta splice must equal a FULL extraction — same oracle
         "edge_extract_delta": gate.edge_extract_oracle_sql(),
         "validate_transcripts": gate.validate_oracle_sql(),
+        "rank_churn_top50": gate.rank_churn_oracle_sql(),
         "degrees": gate.degrees_oracle_sql(),
         "degrees_by_type": gate.degrees_by_type_oracle_sql(),
         "pagerank_k5": gate.pagerank_oracle_sql(),

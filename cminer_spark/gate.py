@@ -672,6 +672,30 @@ vt AS (
 )
 
 
+def rank_churn_oracle_sql(k: int = 50) -> str:
+    """Top-k |position| movers between the base ((src+dst)%3 != 0) and
+    full in-degree rankings — mirrors ``stats.rank_churn`` (row_number
+    by score desc then v_id asc; side-absent vertices sort first)."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        f""",
+d0 AS (SELECT dst AS v_id, count(*) AS s FROM edges WHERE (src + dst) % 3 <> 0 GROUP BY dst),
+d1 AS (SELECT dst AS v_id, count(*) AS s FROM edges GROUP BY dst),
+p0 AS (SELECT v_id, s, row_number() OVER (ORDER BY s DESC, v_id ASC) AS pos FROM d0),
+p1 AS (SELECT v_id, s, row_number() OVER (ORDER BY s DESC, v_id ASC) AS pos FROM d1)
+SELECT coalesce(p0.v_id, p1.v_id) AS v_id,
+       p0.pos AS pos_prev,
+       p1.pos AS pos_cur,
+       p0.pos - p1.pos AS pos_delta,
+       p0.s AS score_prev,
+       p1.s AS score_cur
+FROM p0 FULL JOIN p1 ON p0.v_id = p1.v_id
+ORDER BY coalesce(abs(p0.pos - p1.pos), 2147483647) DESC,
+         coalesce(p0.v_id, p1.v_id) ASC
+LIMIT {k}"""
+    )
+
+
 def validate_oracle_sql() -> str:
     """Violation counts over the corrupted frame — mirrors
     ``sources/validate.py`` exactly (same window order, same

@@ -30,6 +30,7 @@ from cminer_spark.operators.stats import (
     degree_histogram,
     graph_summary,
     modularity,
+    rank_churn,
 )
 from cminer_spark.operators.temporal import asof_join, funnel, sessionize
 from cminer_spark.operators.anf import (
@@ -65,6 +66,7 @@ __all__ = [
     "degree_histogram",
     "degree_assortativity",
     "modularity",
+    "rank_churn",
     "sessionize",
     "asof_join",
     "funnel",

@@ -249,3 +249,53 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             / F.sqrt(varx.cast("double") * vary.cast("double")),
         ).alias("assortativity"),
     )
+
+
+def rank_churn(
+    prev: DataFrame,
+    cur: DataFrame,
+    k: int = 100,
+    score_col: str = "rank",
+) -> DataFrame:
+    """Top-k rank movers between two scorings of the same graph — the
+    monitoring companion to the incremental ingest path (compare
+    yesterday's PageRank/Katz table to today's).
+
+    Returns ``(v_id, pos_prev, pos_cur, pos_delta, score_prev,
+    score_cur)`` for the k largest |position change| (ties broken by
+    v_id), where position is the dense 1-based rank by descending
+    score (deterministic: ties within a score break by v_id). Vertices
+    present on only one side get position NULL there and sort as the
+    largest movers.
+
+    Scale shape: two global sort-based windows (unavoidable for exact
+    positions — each is one range-partitioned sort, the same cost
+    class as any global top-k) + one join on v_id + one top-k. For
+    score-delta-only monitoring at 10^12 vertices, filter on
+    |score_cur - score_prev| instead and skip the windows.
+    """
+    from pyspark.sql import Window
+
+    def positioned(df: DataFrame, tag: str) -> DataFrame:
+        w = Window.orderBy(F.col(score_col).desc(), F.col("v_id").asc())
+        return df.select(
+            "v_id",
+            F.col(score_col).alias(f"score_{tag}"),
+            F.row_number().over(w).alias(f"pos_{tag}"),
+        )
+
+    joined = positioned(prev, "prev").join(
+        positioned(cur, "cur"), "v_id", "full_outer"
+    )
+    out = joined.select(
+        "v_id",
+        "pos_prev",
+        "pos_cur",
+        (F.col("pos_prev") - F.col("pos_cur")).alias("pos_delta"),
+        "score_prev",
+        "score_cur",
+    )
+    mover = F.coalesce(
+        F.abs("pos_delta"), F.lit(2_147_483_647)
+    )
+    return out.orderBy(mover.desc(), F.col("v_id").asc()).limit(k)

@@ -143,3 +143,60 @@ def test_modularity_missing_labels_default_to_singletons(spark):
     # A=1, m=2, degrees: 0:1,1:2,2:1 → d_7=3, d_2=1 → B=10
     assert row.m == 2
     assert math.isclose(row.q, 1 / 2 - 10 / 16)
+
+
+def test_rank_churn_known_movers(spark):
+    from cminer_spark.operators import rank_churn
+
+    prev = spark.createDataFrame(
+        [(1, 10.0), (2, 8.0), (3, 6.0), (4, 4.0)], "v_id long, rank double"
+    )
+    # 4 jumps to the top, 1 drops; 5 is new, 3 disappears
+    cur = spark.createDataFrame(
+        [(4, 12.0), (1, 9.0), (2, 7.0), (5, 1.0)], "v_id long, rank double"
+    )
+    rows = rank_churn(prev, cur, k=10).collect()
+    by_v = {r.v_id: r for r in rows}
+    # side-absent vertices are the largest movers, ordered by v_id
+    assert [r.v_id for r in rows[:2]] == [3, 5]
+    assert by_v[3].pos_cur is None and by_v[5].pos_prev is None
+    assert by_v[4].pos_prev == 4 and by_v[4].pos_cur == 1
+    assert by_v[4].pos_delta == 3
+    assert by_v[1].pos_delta == 1 - 2  # slipped from 1st to 2nd
+    assert by_v[2].pos_delta == 0 or by_v[2].pos_delta == -1
+
+
+def test_rank_churn_k_limits_and_determinism(spark):
+    from cminer_spark.operators import rank_churn
+
+    prev = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(20)], "v_id long, rank double"
+    )
+    cur = spark.createDataFrame(
+        [(i, float(100 - ((i + 5) % 20))) for i in range(20)],
+        "v_id long, rank double",
+    )
+    a = [tuple(r) for r in rank_churn(prev, cur, k=7).collect()]
+    b = [tuple(r) for r in rank_churn(prev, cur, k=7).collect()]
+    assert a == b and len(a) == 7
+
+
+def test_rank_churn_gate_parity(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+    from cminer_spark import gate
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in E.queries()["rank_churn_top50"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        tuple(None if v is None else int(v) for v in row)
+        for row in con.execute(gate.rank_churn_oracle_sql()).fetchall()
+    )
+    assert got == want
