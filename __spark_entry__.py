@@ -86,6 +86,18 @@ def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(t).select("src_key", "dst_key", "type")
 
 
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain communities on the gate graph — data-dependent sweep
+    count and argmax make it non-SQL-expressible, so this entry has no
+    oracle (the driver records a rows-only check); correctness is
+    property-tested (tests/test_louvain.py: planted partitions,
+    modularity >= LPA, determinism)."""
+    from cminer_spark.operators.louvain import louvain
+
+    labels, _info = louvain(gate.gate_edges_df(spark, sf_dir), max_levels=2)
+    return labels
+
+
 def _q_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 position movers between the base graph's in-degree
     ranking and the full graph's — integer scores keep the gate
@@ -735,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_extract_delta": _q_edge_extract_delta,
         "validate_transcripts": _q_validate_transcripts,
         "rank_churn_top50": _q_rank_churn,
+        "louvain_communities": _q_louvain,
         "degrees": _q_degrees,
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,

@@ -32,6 +32,7 @@ from cminer_spark.operators.stats import (
     modularity,
     rank_churn,
 )
+from cminer_spark.operators.louvain import louvain
 from cminer_spark.operators.temporal import asof_join, funnel, sessionize
 from cminer_spark.operators.anf import (
     anf_sketch,
@@ -67,6 +68,7 @@ __all__ = [
     "degree_assortativity",
     "modularity",
     "rank_churn",
+    "louvain",
     "sessionize",
     "asof_join",
     "funnel",
