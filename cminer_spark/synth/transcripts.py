@@ -129,13 +129,22 @@ def synth_transcripts(
         ],
     )
 
-    # ts: monotone within a conversation, derived from (conv, turn) only.
+    # ts: strictly monotone within a conversation (FIXTURES.md §1
+    # contract, checked by sources/validate.py), derived from
+    # (conv, turn) only and still closed-form (no window/shuffle):
+    # offset(turn) = turn*60 + jitter(turn) with jitter < 60, so
+    # consecutive turns differ by 60 ± 49 > 0. The previous
+    # turn_idx * per-turn-gap form silently regressed (~26% of
+    # consecutive pairs) because the multiplier varied per turn.
     base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-    gap_s = 10 + F.pmod(F.xxhash64("conv_seq", "turn_idx", F.lit(seed * 7 + 4)), F.lit(50))
+    jitter_s = F.pmod(
+        F.xxhash64("conv_seq", "turn_idx", F.lit(seed * 7 + 4)), F.lit(50)
+    )
     ts = F.timestamp_seconds(
         F.unix_timestamp(base)
         + F.pmod(F.xxhash64("conv_seq", F.lit(seed * 7 + 5)), F.lit(86400 * 30))
-        + F.col("turn_idx").cast("long") * gap_s
+        + F.col("turn_idx").cast("long") * 60
+        + jitter_s
     )
 
     return t.select(

@@ -24,17 +24,16 @@ def _ts(s):
 
 
 def test_synth_input_contract(spark):
-    # synth transcripts honor keys/density/roles; their ts deliberately
-    # jitters within a conversation (hash-seeded increments), which the
-    # regression counter must surface rather than hide
+    # synth transcripts honor the FULL input contract, including
+    # strictly monotone ts per conversation (the validator caught the
+    # old turn_idx * varying-gap formula regressing ~26% of pairs)
     t = synthmod.synth_transcripts(spark, n_convs=50, seed=2)
     r = validate_transcripts(t).collect()[0]
     assert r.n_rows == t.count() and r.n_convs == 50
     assert (
         r.n_null_conv_id, r.n_null_turn_idx, r.n_dup_turns,
-        r.n_gap_convs, r.n_bad_role,
-    ) == (0, 0, 0, 0, 0)
-    assert r.n_ts_regressions > 0
+        r.n_gap_convs, r.n_ts_regressions, r.n_bad_role,
+    ) == (0, 0, 0, 0, 0, 0)
 
 
 def test_handmade_clean_all_zeros(spark):
