@@ -242,3 +242,16 @@ def test_warm_start_normalizes_arbitrary_input(spark):
     vals = np.array([r.rank for r in ranks.collect()])
     assert np.allclose(vals, 1.0 / 8, atol=1e-8)
     assert abs(vals.sum() - 1.0) < 1e-9
+
+
+def test_explicit_weight_column(spark):
+    # non-uniform weight column (not just multigraph duplication)
+    rows = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 5.0), (3, 2, 0.5)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    ranks, info = pagerank(df, tol=1e-9, max_iter=300)
+    got = {r.v_id: r.rank for r in ranks.collect()}
+    want = pagerank_oracle(rows, tol=1e-9)
+    a = np.array([got[k] for k in sorted(got)])
+    b = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(a, b, atol=1e-7), np.abs(a - b).max()
+    assert abs(a.sum() - 1.0) < 1e-9
