@@ -86,6 +86,42 @@ def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(t).select("src_key", "dst_key", "type")
 
 
+def _q_wl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL graph fingerprints over the per-conversation transactional
+    DB — md5-over-sorted-colors is engine-identical, so the unrolled
+    oracle checks the refinement exactly."""
+    from cminer_spark.operators.wl import wl_fingerprints
+
+    t = gate.transcripts_df(spark, sf_dir)
+    turn_id = F.col("user_id") * 100000 + F.col("turn_idx")
+    tool_id = F.lit(1_000_000_000) + F.col("event_id") % 7
+    v = t.select(
+        F.col("conv_id").alias("graph_id"),
+        turn_id.alias("v_id"),
+        F.array("role").alias("labels"),
+    ).union(
+        t.where(F.col("tool").isNotNull())
+        .select(
+            F.col("conv_id").alias("graph_id"),
+            tool_id.alias("v_id"),
+            F.array(F.lit("tool")).alias("labels"),
+        )
+        .distinct()
+    )
+    e = t.where(F.col("turn_idx") > 0).select(
+        F.col("conv_id").alias("graph_id"),
+        turn_id.alias("src"),
+        (turn_id - 1).alias("dst"),
+    ).union(
+        t.where(F.col("tool").isNotNull()).select(
+            F.col("conv_id").alias("graph_id"),
+            turn_id.alias("src"),
+            tool_id.alias("dst"),
+        )
+    )
+    return wl_fingerprints(v, e, rounds=gate.WL_ROUNDS)
+
+
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain communities on the gate graph — data-dependent sweep
     count and argmax make it non-SQL-expressible, so this entry has no
@@ -748,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_transcripts": _q_validate_transcripts,
         "rank_churn_top50": _q_rank_churn,
         "louvain_communities": _q_louvain,
+        "wl_fingerprints": _q_wl_fingerprints,
         "degrees": _q_degrees,
         "degrees_by_type": _q_degrees_by_type,
         "pagerank_k5": _q_pagerank,
@@ -802,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_extract_delta": gate.edge_extract_oracle_sql(),
         "validate_transcripts": gate.validate_oracle_sql(),
         "rank_churn_top50": gate.rank_churn_oracle_sql(),
+        "wl_fingerprints": gate.wl_fingerprint_oracle_sql(),
         "degrees": gate.degrees_oracle_sql(),
         "degrees_by_type": gate.degrees_by_type_oracle_sql(),
         "pagerank_k5": gate.pagerank_oracle_sql(),

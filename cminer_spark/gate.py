@@ -333,6 +333,69 @@ l{i} AS (SELECT l.v_id, least(l.component, coalesce(mn.m, l.component)) AS compo
     return _materialize("".join(parts))
 
 
+# Transactional per-conversation graph for the WL gate (same vertex/
+# edge construction the mining gate uses, with graph_id carried).
+WL_CTE = (
+    TRANSCRIPTS_CTE
+    + """,
+wlv AS (
+  SELECT conv_id AS graph_id, user_id * 100000 + turn_idx AS v_id, role AS lbl
+  FROM tr
+  UNION
+  SELECT conv_id, 1000000000 + (event_id % 7), 'tool'
+  FROM tr WHERE tool IS NOT NULL
+),
+wle AS (
+  SELECT conv_id AS graph_id,
+         user_id * 100000 + turn_idx     AS src,
+         user_id * 100000 + turn_idx - 1 AS dst
+  FROM tr WHERE turn_idx > 0
+  UNION ALL
+  SELECT conv_id, user_id * 100000 + turn_idx, 1000000000 + (event_id % 7)
+  FROM tr WHERE tool IS NOT NULL
+),
+wlsym AS (
+  SELECT graph_id, src AS u, dst AS v FROM wle
+  UNION
+  SELECT graph_id, dst AS u, src AS v FROM wle
+)
+"""
+)
+
+WL_ROUNDS = 2
+
+
+def wl_fingerprint_oracle_sql(k: int = WL_ROUNDS) -> str:
+    """Unrolled 1-WL refinement: color_i = md5(prev || '|' ||
+    ','-joined sorted neighbor colors) — strings and md5 are
+    engine-identical, the sort normalizes aggregation order."""
+    parts = [
+        f"WITH {WL_CTE}",
+        """,
+wc0 AS (SELECT graph_id, v_id, md5(lbl) AS color FROM wlv)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+wn{i} AS (SELECT s.graph_id, s.v AS v_id,
+                 array_to_string(list_sort(list(c.color)), ',') AS njoin
+          FROM wlsym s JOIN wc{i-1} c
+            ON s.graph_id = c.graph_id AND s.u = c.v_id
+          GROUP BY s.graph_id, s.v),
+wc{i} AS (SELECT c.graph_id, c.v_id,
+                 md5(concat_ws('|', c.color, coalesce(n.njoin, ''))) AS color
+          FROM wc{i-1} c LEFT JOIN wn{i} n
+            ON c.graph_id = n.graph_id AND c.v_id = n.v_id)"""
+        )
+    parts.append(
+        f"""
+SELECT graph_id,
+       md5(array_to_string(list_sort(list(color)), ',')) AS fingerprint
+FROM wc{k} GROUP BY graph_id"""
+    )
+    return _materialize("".join(parts))
+
+
 # Bounded-diameter gate graph for the INCREMENTAL CC gate: the
 # user–tool bipartite purchase graph (diameter ≤ ~6 through the 7 tool
 # hubs), so a short unrolled hash-min chain reaches the exact

@@ -33,6 +33,7 @@ from cminer_spark.operators.stats import (
     rank_churn,
 )
 from cminer_spark.operators.louvain import louvain
+from cminer_spark.operators.wl import wl_colors, wl_fingerprints
 from cminer_spark.operators.temporal import asof_join, funnel, sessionize
 from cminer_spark.operators.anf import (
     anf_sketch,
@@ -69,6 +70,8 @@ __all__ = [
     "modularity",
     "rank_churn",
     "louvain",
+    "wl_colors",
+    "wl_fingerprints",
     "sessionize",
     "asof_join",
     "funnel",
