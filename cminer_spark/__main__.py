@@ -141,9 +141,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--edges", help="pre-extracted edges table ref (skips extraction)")
     ap.add_argument(
         "--algorithm",
-        choices=["pagerank", "components", "lpa", "triangles"],
+        choices=[
+            "pagerank", "components", "lpa", "triangles", "katz", "louvain",
+        ],
         default="pagerank",
     )
+    ap.add_argument("--alpha", type=float, default=0.01, help="katz attenuation")
+    ap.add_argument("--beta", type=float, default=1.0, help="katz base score")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -242,6 +246,35 @@ def main(argv: list[str] | None = None) -> int:
             edges, max_rounds=args.lpa_rounds, checkpoint=ck
         )
         meta.update(rounds=linfo.rounds, converged=linfo.converged)
+    elif args.algorithm == "katz":
+        from pyspark.sql import functions as F
+
+        from cminer_spark.operators import katz
+
+        out, kinfo = katz(
+            edges,
+            alpha=args.alpha,
+            beta=args.beta,
+            tol=args.tol,
+            max_iter=args.max_iter,
+            init_scores=(
+                read_table(spark, args.init_ranks).select(
+                    "v_id", F.col("katz")
+                )
+                if args.init_ranks
+                else None
+            ),
+        )
+        meta.update(iterations=kinfo.iterations, converged=kinfo.converged)
+    elif args.algorithm == "louvain":
+        from cminer_spark.operators import louvain
+
+        out, vinfo = louvain(edges)
+        meta.update(
+            levels=vinfo.levels,
+            n_communities=vinfo.n_communities,
+            modularity=vinfo.modularity,
+        )
     else:
         out, total = triangle_counts(edges)
         meta.update(total_triangles=total)

@@ -94,3 +94,36 @@ def test_cli_incremental_flow(spark, tmp_path, capsys):
     cf = {r.v_id: r.component for r in spark.read.parquet(f"{base}/cc_full").collect()}
     ci = {r.v_id: r.component for r in spark.read.parquet(f"{base}/cc_incr").collect()}
     assert cf == ci
+
+
+def test_cli_katz_and_louvain(spark, tmp_path, capsys):
+    base = str(tmp_path)
+    t = synth_transcripts(spark, n_convs=40, seed=6)
+    extract_edges(t).write.parquet(f"{base}/edges")
+    mk = _run(
+        capsys,
+        ["--edges", f"{base}/edges", "--algorithm", "katz",
+         "--alpha", "0.02", "--tol", "1e-8",
+         "--output", f"{base}/katz_out"],
+    )
+    assert mk["converged"] and mk["iterations"] > 0
+    kdf = spark.read.parquet(f"{base}/katz_out")
+    assert set(kdf.columns) == {"v_id", "katz"} and kdf.count() > 0
+    # warm start through the CLI converges faster
+    mw = _run(
+        capsys,
+        ["--edges", f"{base}/edges", "--algorithm", "katz",
+         "--alpha", "0.02", "--tol", "1e-8",
+         "--init-ranks", f"{base}/katz_out",
+         "--output", f"{base}/katz_warm"],
+    )
+    assert mw["iterations"] < mk["iterations"]
+
+    ml = _run(
+        capsys,
+        ["--edges", f"{base}/edges", "--algorithm", "louvain",
+         "--output", f"{base}/louvain_out"],
+    )
+    assert ml["n_communities"] > 0 and ml["levels"] >= 1
+    ldf = spark.read.parquet(f"{base}/louvain_out")
+    assert set(ldf.columns) == {"v_id", "community"} and ldf.count() > 0
