@@ -1047,6 +1047,43 @@ FROM pii_docs
 """
 
 
+# deterministically "messy" documents for the normalization gate:
+# upper-cased + trailing runs, tab/CRLF framing, doubled spaces,
+# embedded control chars — all portable expressions (chr() both
+# engines). NOTE the normalize step order matters cross-engine: the
+# controls pass strips \x0b BEFORE the \s+ collapse, because Java \s
+# matches vertical tab and RE2's does not.
+MESSY_DOCS_CTE = """
+messy AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN upper(text) || '   trailing  '
+           WHEN 1 THEN chr(9) || text || chr(13) || chr(10)
+           WHEN 2 THEN replace(text, ' ', '  ')
+           ELSE chr(7) || text || chr(11)
+         END AS text
+  FROM documents
+)
+"""
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.curation import normalize_text
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    messy = spark.sql(f"WITH {MESSY_DOCS_CTE} SELECT doc_id, text FROM messy")
+    return normalize_text(messy).select("doc_id", "text_norm")
+
+
+def normalize_oracle_sql() -> str:
+    from cminer_spark.pipeline.curation import normalize_sql_expr
+
+    return f"""
+WITH {MESSY_DOCS_CTE}
+SELECT doc_id, {normalize_sql_expr('text')} AS text_norm FROM messy
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1073,6 +1110,7 @@ def queries():
         "quota_sample": q_quota_sample,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -1104,4 +1142,5 @@ def oracles():
         "quota_sample": quota_oracle_sql(),
         "decontaminate": decontam_oracle_sql(),
         "redact_pii": redact_oracle_sql(),
+        "normalize_text": normalize_oracle_sql(),
     }

@@ -18,6 +18,7 @@ from cminer_spark.pipeline.similarity import (
 )
 from cminer_spark.pipeline.redact import PII_PATTERNS, redact_pii
 from cminer_spark.pipeline.curation import (
+    normalize_text,
     decontaminate,
     deterministic_split,
     quota_sample,
@@ -58,6 +59,7 @@ __all__ = [
     "deterministic_split",
     "quota_sample",
     "decontaminate",
+    "normalize_text",
     "PII_PATTERNS",
     "redact_pii",
 ]

@@ -30,7 +30,15 @@ from pyspark.sql import functions as F
 
 from cminer_spark.pipeline.dedup import shingles
 
-__all__ = ["split_hash", "deterministic_split", "quota_sample", "decontaminate"]
+__all__ = [
+    "split_hash",
+    "deterministic_split",
+    "quota_sample",
+    "decontaminate",
+    "normalize_text",
+    "normalize_sql_expr",
+    "NORMALIZE_STEPS",
+]
 
 
 def split_hash(id_col: str | F.Column, seed: int = 0) -> F.Column:
@@ -145,3 +153,48 @@ def decontaminate(
     return docs.join(
         hit_ids.withColumnRenamed("_did", id_col), id_col, "left_anti"
     )
+
+
+NORMALIZE_STEPS = (
+    ("controls", r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    ("whitespace", r"\s+", " "),
+)
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Canonicalize a text column for dedup/fingerprinting: strip
+    control characters, collapse all whitespace runs to single spaces,
+    trim, and (optionally) lowercase.
+
+    This is the standard pre-pass in front of ``exact_duplicates`` /
+    MinHash / SimHash — without it, trivially-reformatted copies
+    (trailing newline, CRLF, double spaces, case) hash apart and
+    survive dedup. Pure ``regexp_replace``/``lower`` codegen,
+    shuffle-free, and the regex subset is Java∩RE2-portable so the
+    gate oracle runs the identical semantics (same policy as
+    ``pipeline/redact.py``).
+    """
+    out = out_col or f"{text_col}_norm"
+    c = F.col(text_col)
+    for _name, pat, repl in NORMALIZE_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return docs.withColumn(out, c)
+
+
+def normalize_sql_expr(text_expr: str = "text", lowercase: bool = True) -> str:
+    """DuckDB mirror of :func:`normalize_text`, generated from the
+    same step table so gate and engine cannot drift."""
+    e = text_expr
+    for _name, pat, repl in NORMALIZE_STEPS:
+        esc = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{esc}', '{repl}', 'g')"
+    e = f"trim({e})"
+    return f"lower({e})" if lowercase else e

@@ -120,3 +120,49 @@ def test_decontaminate_short_docs_never_match(spark):
     corpus = _docs(spark, ["one two three"])
     eval_docs = _docs(spark, ["one two three"])
     assert decontaminate(corpus, eval_docs, n=8).count() == 1
+
+
+def test_normalize_text_cases(spark):
+    from cminer_spark.pipeline import normalize_text
+
+    rows = [
+        (0, "Hello   World"),
+        (1, "\thello world\r\n"),
+        (2, "hello\x00world\x0b!"),
+        (3, None),
+        (4, "  HELLO WORLD  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert got[0] == "hello world"
+    assert got[1] == "hello world"
+    assert got[2] == "helloworld!"
+    assert got[3] is None
+    assert got[4] == "hello world"
+    # reformatted copies now dedup together
+    assert got[0] == got[1] == got[4]
+    # lowercase off keeps case
+    kept = {r.doc_id: r.text_norm
+            for r in normalize_text(df, lowercase=False).collect()}
+    assert kept[4] == "HELLO WORLD"
+
+
+def test_normalize_gate_parity(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+    from cminer_spark.gate_pipeline import normalize_oracle_sql
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.doc_id, r.text_norm)
+        for r in E.queries()["normalize_text"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (int(a), b) for a, b in con.execute(normalize_oracle_sql()).fetchall()
+    )
+    assert got == want
