@@ -1084,6 +1084,35 @@ SELECT doc_id, {normalize_sql_expr('text')} AS text_norm FROM messy
 """
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.quantize import quantize_embeddings
+
+    out = quantize_embeddings(_embs(spark, sf_dir))
+    return out.select(
+        "vec_id", F.round("q_scale", 6).alias("q_scale"), "q"
+    )
+
+
+QUANTIZE_SQL = """
+SELECT vec_id,
+       round(s, 6) AS q_scale,
+       CASE WHEN s = 0
+            THEN list_transform(embedding, e -> CAST(0 AS TINYINT))
+            ELSE list_transform(
+              embedding,
+              e -> CAST(greatest(-127, least(127,
+                     CAST(round(CAST(e AS DOUBLE) / s * 127.0) AS INT)
+                   )) AS TINYINT))
+       END AS q
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 e -> abs(CAST(e AS DOUBLE)))) AS s
+  FROM embeddings
+)
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1111,6 +1140,7 @@ def queries():
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
+        "quantize_int8": q_quantize_int8,
     }
 
 
@@ -1143,4 +1173,5 @@ def oracles():
         "decontaminate": decontam_oracle_sql(),
         "redact_pii": redact_oracle_sql(),
         "normalize_text": normalize_oracle_sql(),
+        "quantize_int8": QUANTIZE_SQL,
     }

@@ -16,6 +16,7 @@ from cminer_spark.pipeline.similarity import (
     lsh_bucketed_topk,
     pseudo_random_centroids,
 )
+from cminer_spark.pipeline.quantize import dequantize_embeddings, quantize_embeddings
 from cminer_spark.pipeline.redact import PII_PATTERNS, redact_pii
 from cminer_spark.pipeline.curation import (
     normalize_text,
@@ -62,4 +63,6 @@ __all__ = [
     "normalize_text",
     "PII_PATTERNS",
     "redact_pii",
+    "quantize_embeddings",
+    "dequantize_embeddings",
 ]
