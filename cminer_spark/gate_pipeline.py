@@ -1113,6 +1113,39 @@ FROM (
 """
 
 
+RP_OUT_DIM = 8
+RP_SEED = 17
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.projection import random_projection
+
+    out = random_projection(
+        _embs(spark, sf_dir), out_dim=RP_OUT_DIM, seed=RP_SEED
+    )
+    return out.select(
+        "vec_id",
+        F.transform("projected", lambda v: F.round(v, 6)).alias("projected"),
+    )
+
+
+def projection_oracle_sql() -> str:
+    from cminer_spark.pipeline.projection import projection_sign_sql
+
+    # DuckDB lambda index i is 1-based -> shift to 0-based for the sign
+    comps = ",\n         ".join(
+        "round(list_sum(list_transform(embedding, (x, i) -> "
+        f"CAST(x AS DOUBLE) * {projection_sign_sql('i - 1', j, RP_SEED)}))"
+        f" / sqrt({RP_OUT_DIM}), 6)"
+        for j in range(RP_OUT_DIM)
+    )
+    return f"""
+SELECT vec_id,
+       [{comps}] AS projected
+FROM embeddings
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1141,6 +1174,7 @@ def queries():
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
         "quantize_int8": q_quantize_int8,
+        "random_projection": q_random_projection,
     }
 
 
@@ -1174,4 +1208,5 @@ def oracles():
         "redact_pii": redact_oracle_sql(),
         "normalize_text": normalize_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,
+        "random_projection": projection_oracle_sql(),
     }

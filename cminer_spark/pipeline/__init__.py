@@ -16,6 +16,7 @@ from cminer_spark.pipeline.similarity import (
     lsh_bucketed_topk,
     pseudo_random_centroids,
 )
+from cminer_spark.pipeline.projection import random_projection
 from cminer_spark.pipeline.quantize import dequantize_embeddings, quantize_embeddings
 from cminer_spark.pipeline.redact import PII_PATTERNS, redact_pii
 from cminer_spark.pipeline.curation import (
@@ -65,4 +66,5 @@ __all__ = [
     "redact_pii",
     "quantize_embeddings",
     "dequantize_embeddings",
+    "random_projection",
 ]
