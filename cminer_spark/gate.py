@@ -35,6 +35,16 @@ LPA_ROUNDS = 3
 KHOP_K = 2
 KHOP_SEED = 1_000_000_000  # tool_0 vertex
 MINE_MINSUP = 8
+# Louvain planted-partition gate: ring of LOUVAIN_CLIQUES K_size
+# cliques (one bridge per adjacent pair). Sized below the resolution
+# limit (merging two K_5 cliques is modularity-negative while
+# n_cliques * (2*intra_deg + 2) stays well under 2m), so the unique
+# modularity-optimal partition IS the cliques and the closed-form
+# oracle `community = size * (v div size)` (= min member id, the
+# engine's canonical label) is exact. tests/test_louvain.py proves
+# recovery for three ring sizes; the gate pins 12 x 5.
+LOUVAIN_CLIQUES = 12
+LOUVAIN_CLIQUE_SIZE = 5
 
 # ----------------------------------------------------------------------
 # Shared portable SQL fragments (run verbatim on Spark AND DuckDB)
@@ -785,13 +795,53 @@ rs AS (SELECT count(*) AS n_rows,
                          OR role NOT IN ('user','assistant','system','tool')
                        THEN 1 ELSE 0 END) AS n_bad_role
        FROM vt)
-SELECT n_rows, n_convs, n_null_conv_id, n_null_turn_idx,
-       coalesce(n_dup_turns, 0) AS n_dup_turns,
-       coalesce(n_gap_convs, 0) AS n_gap_convs,
-       coalesce(n_ts_regressions, 0) AS n_ts_regressions,
-       n_bad_role
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_convs AS BIGINT) AS n_convs,
+       CAST(n_null_conv_id AS BIGINT) AS n_null_conv_id,
+       CAST(n_null_turn_idx AS BIGINT) AS n_null_turn_idx,
+       CAST(coalesce(n_dup_turns, 0) AS BIGINT) AS n_dup_turns,
+       CAST(coalesce(n_gap_convs, 0) AS BIGINT) AS n_gap_convs,
+       CAST(coalesce(n_ts_regressions, 0) AS BIGINT) AS n_ts_regressions,
+       CAST(n_bad_role AS BIGINT) AS n_bad_role
 FROM rs, cs"""
     )
+
+
+def louvain_planted_edges(spark: SparkSession) -> DataFrame:
+    """Deterministic ring-of-cliques edge table (src, dst) for the
+    Louvain gate: LOUVAIN_CLIQUES cliques of LOUVAIN_CLIQUE_SIZE
+    vertices, vertex ids dense from 0, one bridge
+    (size*c, size*((c+1) % n)) per clique."""
+    size, nc = LOUVAIN_CLIQUE_SIZE, LOUVAIN_CLIQUES
+    v = spark.range(nc * size).select(F.col("id").alias("v"))
+    intra = (
+        v.crossJoin(v.select(F.col("v").alias("u")))
+        .where(
+            (F.col("v") < F.col("u"))
+            & (F.floor(F.col("v") / size) == F.floor(F.col("u") / size))
+        )
+    )
+    bridges = spark.range(nc).select(
+        (F.col("id") * size).alias("v"),
+        (((F.col("id") + 1) % nc) * size).alias("u"),
+    )
+    return intra.union(bridges).select(
+        F.col("v").alias("src"), F.col("u").alias("dst")
+    )
+
+
+def louvain_oracle_sql() -> str:
+    """Closed-form certificate for the planted ring-of-cliques: the
+    modularity-optimal partition is the cliques themselves (see the
+    LOUVAIN_CLIQUES comment), and the engine canonicalizes community
+    labels to the minimum member id = size * (v div size)."""
+    n = LOUVAIN_CLIQUES * LOUVAIN_CLIQUE_SIZE
+    s = LOUVAIN_CLIQUE_SIZE
+    return f"""
+SELECT CAST(range AS BIGINT) AS v_id,
+       CAST((range // {s}) * {s} AS BIGINT) AS community
+FROM range({n})
+"""
 
 
 def anf_exact_oracle_sql() -> str:

@@ -116,7 +116,9 @@ WITH lagged AS (
            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
        min(us) AS start_us, max(us) AS end_us
 FROM sess GROUP BY user_id, session_idx
 """

@@ -98,12 +98,13 @@ def _local_moving(
     )
     assign = k.select("v_id", F.col("v_id").alias("c"))
     sweeps = 0
+    prev_moves = -1  # moves in the previous (opposite-color) sweep
     for s in range(max_sweeps):
         assign = truncate_lineage(assign)
         tot = (
             assign.join(k, "v_id")
             .groupBy("c")
-            .agg(F.sum("k").alias("tot"))
+            .agg(F.sum("k").alias("tot"), F.count("*").alias("csz"))
         )
         # weight from each vertex into each neighboring community
         cu = assign.select(F.col("v_id").alias("u"), F.col("c").alias("cu"))
@@ -122,6 +123,7 @@ def _local_moving(
                 "v_id",
                 "c",
                 "cand",
+                "csz",
                 (
                     F.col("k_in")
                     - F.col("k")
@@ -143,6 +145,7 @@ def _local_moving(
             .join(tot, "c")
             .select(
                 "v_id",
+                F.col("csz").alias("cur_csz"),
                 (
                     -F.col("k") * (F.col("tot") - F.col("k")) / F.lit(m2)
                 ).alias("stay_floor"),
@@ -156,6 +159,7 @@ def _local_moving(
                         F.col("score"),
                         (-F.col("cand")).alias("neg"),
                         F.col("cand"),
+                        F.col("csz"),
                     )
                 ).alias("b"),
                 F.max(
@@ -169,13 +173,30 @@ def _local_moving(
                 "v_id",
                 F.col("b.cand").alias("best_c"),
                 F.col("b.score").alias("best_score"),
+                F.col("b.csz").alias("best_csz"),
+                "cur_csz",
                 F.coalesce("cur_score", "stay_floor").alias("cur"),
             )
         )
         # red/black alternation: only half the vertices may move per
         # sweep (deterministic), preventing synchronous oscillation
         movable = F.pmod(F.xxhash64("v_id"), F.lit(2)) == F.lit(s % 2)
-        moved_flag = (F.col("best_score") > F.col("cur") + F.lit(1e-12)) & movable
+        # singleton-swap guard (Grappolo heuristic, Halappanavar et
+        # al.): two SAME-colored adjacent singletons can swap
+        # communities within one sweep (3->c4 while 4->c3) and
+        # oscillate forever — when both source and destination
+        # communities are singletons, only the move toward the
+        # smaller community id is allowed
+        no_swap = ~(
+            (F.col("cur_csz") == 1)
+            & (F.col("best_csz") == 1)
+            & (F.col("best_c") > F.col("c"))
+        )
+        moved_flag = (
+            (F.col("best_score") > F.col("cur") + F.lit(1e-12))
+            & movable
+            & no_swap
+        )
         from pyspark.sql import Observation
 
         obs = Observation(f"louvain_moves_{s}")
@@ -197,12 +218,58 @@ def _local_moving(
         moves = int(obs.get["n"] or 0)
         assign = new_assign
         sweeps = s + 1
-        # converged once a full red+black cycle produces no move
-        if moves == 0 and s % 2 == 1:
+        # converged once a full red+black cycle produces no move: both
+        # the current sweep AND the previous opposite-color sweep must
+        # be move-free (a move-free black sweep right after a moving
+        # red sweep is NOT a fixpoint — red vertices may have gained
+        # new improving moves from their own synchronous round)
+        if moves == 0 and prev_moves == 0:
             break
+        prev_moves = moves
     sym.unpersist()
     k.unpersist()
     return assign, sweeps
+
+
+def _weighted_modularity(g0: DataFrame, labels: DataFrame, m2: float) -> float:
+    """Modularity under the SAME convention the local-moving sweeps
+    optimize: weighted multigraph, self-loops kept (A_ii = 2w), so the
+    reported quality metric is the objective actually maximized.
+    ``g0`` is the level-0 canonical weighted pair frame (u <= v)."""
+    lu = labels.select(F.col("v_id").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("v_id").alias("v"), F.col("community").alias("cv"))
+    in_c = float(
+        g0.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .agg(F.sum(2.0 * F.col("w")).alias("s"))
+        .collect()[0]["s"]
+        or 0.0
+    )
+    k0 = (
+        g0.select(
+            F.col("u").alias("v_id"),
+            F.when(F.col("u") == F.col("v"), 2.0 * F.col("w"))
+            .otherwise(F.col("w"))
+            .alias("kw"),
+        )
+        .union(
+            g0.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("v_id"), F.col("w").alias("kw")
+            )
+        )
+        .groupBy("v_id")
+        .agg(F.sum("kw").alias("k"))
+    )
+    sq = float(
+        k0.join(labels, "v_id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot"))
+        .agg(F.sum(F.col("tot") * F.col("tot")).alias("s"))
+        .collect()[0]["s"]
+        or 0.0
+    )
+    return in_c / m2 - sq / (m2 * m2)
 
 
 def louvain(
@@ -212,11 +279,14 @@ def louvain(
     weight_col: str = "weight",
 ) -> tuple[DataFrame, LouvainInfo]:
     """Returns ``(labels(v_id, community), info)`` — community =
-    minimum member vertex id; deterministic for a given input."""
-    from cminer_spark.operators.stats import modularity
+    minimum member vertex id; deterministic for a given input.
 
+    ``info.modularity`` is the weighted multigraph modularity (self-
+    loops kept) — the same objective the sweeps optimize — NOT the
+    unweighted simple projection ``stats.modularity`` reports."""
     info = LouvainInfo()
     g = _sym_weighted(edges, weight_col).persist()
+    g0 = g  # level-0 frame, kept for the reported modularity
     m2 = float(
         (g.agg(F.sum(F.when(F.col("u") == F.col("v"), 2.0 * F.col("w"))
                      .otherwise(2.0 * F.col("w"))).alias("s"))
@@ -267,16 +337,17 @@ def louvain(
             .agg(F.sum("w").alias("w"))
         )
         g_next = truncate_lineage(g_next)
-        g.unpersist()
+        if g is not g0:
+            g.unpersist()
         g = g_next.persist()
 
-    g.unpersist()
     # canonical labels: min member id per community
     canon = labels.groupBy("c").agg(F.min("v_id").alias("community"))
     out = labels.join(canon, "c").select("v_id", "community")
     out = truncate_lineage(out)
     info.n_communities = out.select("community").distinct().count()
-    info.modularity = float(
-        modularity(edges, out).collect()[0]["q"]
-    )
+    info.modularity = _weighted_modularity(g0, out, m2)
+    if g is not g0:
+        g.unpersist()
+    g0.unpersist()
     return out, info

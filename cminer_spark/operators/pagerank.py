@@ -213,6 +213,20 @@ def pagerank(
         if not seeds:
             raise ValueError("seeds must be a non-empty vertex-id list")
         seed_list = sorted({int(s) for s in seeds})
+        # every seed must exist in the graph: an absent seed silently
+        # shrinks Σreset below 1, breaking the Σrank = 1 conservation
+        # invariant the dangling-mass computation depends on, so all
+        # ranks would drift instead of erroring
+        present = {
+            r.v_id
+            for r in verts.where(F.col("v_id").isin(seed_list)).collect()
+        }
+        missing = [s for s in seed_list if s not in present]
+        if missing:
+            raise ValueError(
+                f"personalization seeds not in graph: {missing[:10]}"
+                + (" ..." if len(missing) > 10 else "")
+            )
         reset = F.when(
             F.col("v_id").isin(seed_list), F.lit(1.0 / len(seed_list))
         ).otherwise(F.lit(0.0))

@@ -75,3 +75,33 @@ def test_degenerate_inputs(spark):
     labels, info = louvain(loop)
     got = {(r.v_id, r.community) for r in labels.collect()}
     assert got == {(3, 3)}
+
+
+def test_singleton_swap_guard_weighted_path(spark):
+    """Two same-hash-color adjacent singletons must not swap
+    communities and oscillate: on the weighted path
+    1-2(100), 2-3(1), 3-4(100) the optimum is {1,2} | {3,4}
+    (Q = 400/402 - 2*201^2/402^2 ~= 0.495), and without the
+    Grappolo singleton-swap guard vertices 3 and 4 end up in
+    swapped singleton communities."""
+    edges = spark.createDataFrame(
+        [(1, 2, 100.0), (2, 3, 1.0), (3, 4, 100.0)],
+        "src long, dst long, weight double",
+    )
+    labels, info = louvain(edges)
+    got = {(r[0], r[1]) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 3)}
+    assert abs(info.modularity - (400 / 402 - 2 * 201**2 / 402**2)) < 1e-9
+
+
+def test_reported_modularity_is_weighted_objective(spark):
+    """info.modularity must score the weighted multigraph objective
+    the sweeps optimize, not the unweighted simple projection."""
+    edges = spark.createDataFrame(
+        [(1, 2, 100.0), (2, 3, 1.0), (3, 4, 100.0)],
+        "src long, dst long, weight double",
+    )
+    _, info = louvain(edges)
+    # unweighted projection of the same partition scores 1/3 - ... --
+    # distinctly different from the weighted 0.495
+    assert info.modularity > 0.49

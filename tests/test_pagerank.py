@@ -203,6 +203,15 @@ def test_personalized_empty_seeds_raises(spark):
         pagerank(df, seeds=[])
 
 
+def test_personalized_missing_seed_raises(spark):
+    """A seed absent from the vertex set must error loudly — silently
+    shrinking the reset vector would break the Sum(rank)=1 invariant
+    and drift every rank."""
+    df = edges_df(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="not in graph.*99"):
+        pagerank(df, seeds=[1, 99])
+
+
 def test_warm_start_same_fixpoint_fewer_supersteps(spark):
     import random
 
