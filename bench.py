@@ -352,7 +352,16 @@ def main() -> None:
         if scaling:
             result.update(scaling)
 
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # the driver captures only the stdout tail, which has clipped the
+    # JSON mid-line before (r3) — also persist the full line to a file
+    try:
+        os.makedirs(os.path.join(_HERE, "BENCH"), exist_ok=True)
+        with open(os.path.join(_HERE, "BENCH", "last_run.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 def _scaling_pair() -> dict | None:

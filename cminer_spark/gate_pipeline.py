@@ -336,9 +336,10 @@ SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """
 
-_SHINGLES_CTE = """
+def _shingles_cte(src: str = "documents") -> str:
+    return f"""
 toks AS (
-  SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM {src}
 ),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
@@ -346,6 +347,9 @@ sh AS (
                          ELSE [] END) AS u(i)
 )
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
@@ -365,9 +369,11 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= {JACCARD_THRESHOLD}
 """
 
 
-def _lsh_ctes() -> str:
+def _lsh_ctes(src: str = "documents") -> str:
     """Shared CTE chain shingles→signatures→bands→band rows (DuckDB),
-    mirroring :func:`minhash_signatures` + banding with the md5 family."""
+    mirroring :func:`minhash_signatures` + banding with the md5 family.
+    ``src`` lets the dedup_clusters oracle band exact-text
+    representatives instead of raw documents."""
     hashes = ", ".join(
         f"min(md5('{i}|' || s)) AS h{i}" for i in range(MINHASH_HASHES)
     )
@@ -384,7 +390,7 @@ def _lsh_ctes() -> str:
         f"SELECT doc_id, {bi} AS band_idx, band{bi} AS band_hash FROM banded"
         for bi in range(MINHASH_BANDS)
     )
-    return f"""{_SHINGLES_CTE},
+    return f"""{_shingles_cte(src)},
 sigs AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
 banded AS (SELECT doc_id, {bands} FROM sigs),
 bandrows AS ({band_rows})"""
@@ -404,12 +410,20 @@ GROUP BY x.doc_id, y.doc_id
 def dedup_clusters_oracle_sql(
     threshold: float, cc_rounds: int
 ) -> str:
-    """LSH candidates → exact-Jaccard verification → exact-duplicate
-    star edges → ``cc_rounds`` unrolled hash-min components (same
-    fixed-round grain as the Spark side, so results match exactly)."""
+    """Rep-level LSH candidates → exact-Jaccard verification →
+    exact-duplicate star edges → ``cc_rounds`` unrolled hash-min
+    components (same fixed-round grain as the Spark side, so results
+    match exactly). Mirrors the Spark side's mega-bucket guard: the
+    banding/verification CTEs run over one representative per
+    exact-text group (min doc_id), with the star edges restoring
+    member connectivity."""
     parts = [
         f"""
-WITH {_lsh_ctes()},
+WITH repdocs AS (
+  SELECT min(doc_id) AS doc_id, any_value(text) AS text
+  FROM documents GROUP BY md5(text)
+),
+{_lsh_ctes("repdocs")},
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bandrows x JOIN bandrows y

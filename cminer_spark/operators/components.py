@@ -236,12 +236,21 @@ def hashmin_components(
     edges: DataFrame,
     rounds: int,
     vertices: DataFrame | None = None,
+    verify_converged: bool = False,
 ) -> DataFrame:
     """Fixed-``rounds`` hash-min label propagation:
     label'(v) = min(label(v), min_{u~v} label(u)); exact CC when
     ``rounds`` ≥ graph diameter. Deterministic integer logic — used as
     a second implementation for differential tests and as the
-    SQL-unrollable gate variant."""
+    SQL-unrollable gate variant.
+
+    ``verify_converged=True`` runs ONE extra round after ``rounds``
+    and raises ``ValueError`` if any label still changes — callers who
+    treat the fixed-round output as exact CC (``dedup_clusters``) get
+    a loud failure instead of silently split components when the
+    graph diameter exceeds ``rounds``. The returned labels are still
+    the ``rounds``-round result (the probe round is discarded), so
+    fixed-round oracles keep matching."""
     sym = (
         edges.where(F.col("src") != F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -274,5 +283,26 @@ def hashmin_components(
                 ).alias("component"),
             )
         )
+    if verify_converged:
+        probe = (
+            sym.join(
+                labels.select(F.col("v_id").alias("u"), "component").hint(
+                    "shuffle_hash"
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("v_id"))
+            .agg(F.min("component").alias("nbr_min"))
+            .join(labels, "v_id")
+            .where(F.col("nbr_min") < F.col("component"))
+        )
+        n_changed = probe.count()
+        if n_changed:
+            sym.unpersist()
+            raise ValueError(
+                f"hashmin_components: {n_changed} labels still changing "
+                f"after {rounds} rounds — graph diameter exceeds the "
+                "fixed round count; raise `rounds`"
+            )
     sym.unpersist()
     return labels

@@ -145,23 +145,32 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    docs: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    n: int = DEFAULT_SHINGLE,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_family: str = "md5",
+def exact_text_representatives(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """LSH candidate pairs: documents sharing ≥1 identical band
-    (band = hash of its rows of the MinHash signature).
+    """One row per DISTINCT text: ``(doc_id, text)`` where doc_id is
+    the minimum id of the exact-text group (the same canonical the
+    exact-dedup star edges use). One hash-aggregate."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.any_value(F.col(text_col)).alias(text_col),
+        )
+        .drop("_h")
+    )
 
-    Output ``(a, b, n_bands)``. The join is an equi-join on
-    ``(band_idx, band_hash)`` buckets — never all-pairs.
-    ``hash_family`` as in :func:`minhash_signatures` — md5 (oracle-
-    portable, default) or xxhash64 (throughput).
-    """
+
+def _minhash_banded(
+    docs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+    hash_family: str,
+) -> DataFrame:
+    """Shared banding stage: ``(doc_id, band_idx, band_hash)``."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, hash_family)
@@ -175,7 +184,7 @@ def minhash_lsh_candidates(
             return F.xxhash64(*elems).cast("string")
         return F.md5(F.concat_ws("|", *elems))
 
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -189,6 +198,61 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+    dedup_exact: bool = False,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing ≥1 identical band
+    (band = hash of its rows of the MinHash signature).
+
+    Output ``(a, b, n_bands)``. The join is an equi-join on
+    ``(band_idx, band_hash)`` buckets — never all-pairs.
+    ``hash_family`` as in :func:`minhash_signatures` — md5 (oracle-
+    portable, default) or xxhash64 (throughput).
+
+    Mega-bucket guards (the 100 TB hazard: millions of EXACT copies
+    of boilerplate share every band, so one bucket's self-join goes
+    quadratic):
+
+    * ``dedup_exact=True`` bands ONE representative per exact-text
+      group (min id — the same canonical :func:`exact_duplicates`
+      and the star edges use), so candidate pairs are between
+      representatives and a k-copy group contributes one banded row
+      instead of k. Exact-copy pairs are recoverable in O(n) from
+      :func:`exact_duplicates`; graph consumers
+      (:func:`dedup_clusters`) get identical connectivity via the
+      star edges.
+    * ``max_bucket_size=N`` drops buckets with more than N banded
+      rows from the self-join (bounding its output at N² per bucket).
+      Lossy by design — audit what was dropped with
+      :func:`lsh_overflow_buckets` (same banding, so the report is
+      exact); a pair is only lost if EVERY band the two docs share
+      overflows.
+    """
+    if dedup_exact:
+        docs = exact_text_representatives(docs, id_col, text_col)
+        id_col, text_col = "doc_id", "text"
+    banded = _minhash_banded(
+        docs, num_hashes, bands, n, id_col, text_col, hash_family
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = (
+            banded.join(sizes, ["band_idx", "band_hash"])
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     return (
@@ -196,6 +260,34 @@ def minhash_lsh_candidates(
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def lsh_overflow_buckets(
+    docs: DataFrame,
+    max_bucket_size: int,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+    dedup_exact: bool = False,
+) -> DataFrame:
+    """Audit report for ``max_bucket_size``: the buckets
+    :func:`minhash_lsh_candidates` would DROP at that cap —
+    ``(band_idx, band_hash, n_docs)``. Same banding parameters ⇒
+    exact accounting of the recall loss surface."""
+    if dedup_exact:
+        docs = exact_text_representatives(docs, id_col, text_col)
+        id_col, text_col = "doc_id", "text"
+    banded = _minhash_banded(
+        docs, num_hashes, bands, n, id_col, text_col, hash_family
+    )
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
     )
 
 
@@ -312,6 +404,7 @@ def verified_duplicate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "md5",
+    dedup_exact: bool = False,
 ) -> DataFrame:
     """LSH candidates verified by EXACT shingle Jaccard:
     ``(a, b, jaccard ≥ threshold)``.
@@ -320,9 +413,20 @@ def verified_duplicate_pairs(
     ``array_intersect`` over the two shingle arrays of CANDIDATE pairs
     only (LSH bounds the pair volume; per-doc shingle arrays ride the
     join instead of a re-exploded shingle⋈shingle shuffle).
+
+    ``dedup_exact=True``: candidates and verified pairs are between
+    exact-text REPRESENTATIVES (see :func:`minhash_lsh_candidates`) —
+    the mega-bucket guard for heavily duplicated corpora.
     """
     cand = minhash_lsh_candidates(
-        docs, num_hashes, bands, n, id_col, text_col, hash_family
+        docs,
+        num_hashes,
+        bands,
+        n,
+        id_col,
+        text_col,
+        hash_family,
+        dedup_exact=dedup_exact,
     ).select("a", "b")
     arr = docs.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("shs")
@@ -353,6 +457,7 @@ def dedup_clusters(
     hash_family: str = "md5",
     include_exact: bool = True,
     cc_rounds: int = 4,
+    check_convergence: bool = True,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering:
     ``(doc_id, cluster_id, is_canonical)`` for EVERY input document
@@ -369,11 +474,33 @@ def dedup_clusters(
     dense, so a handful of rounds suffices and the unrolled SQL gate
     mirrors the same round count); the canonical document is the one
     whose id equals its cluster id.
+
+    Mega-bucket guard: when ``include_exact`` is on, the LSH +
+    verification stages run over exact-text REPRESENTATIVES only
+    (``dedup_exact=True``) — a k-copy boilerplate group contributes
+    ONE banded row instead of k, so no band bucket can go quadratic
+    from exact duplication, and the star edges restore the identical
+    final connectivity (every copy links to the representative the
+    verified pairs are expressed in).
+
+    Under-convergence is DETECTED, not assumed: one extra hash-min
+    round runs after ``cc_rounds`` and a label change raises
+    ``ValueError`` (a near-dup cluster with duplicate-graph diameter
+    > cc_rounds would otherwise be silently split). Set
+    ``check_convergence=False`` to skip the extra round.
     """
     from cminer_spark.operators.components import hashmin_components
 
     pair_e = verified_duplicate_pairs(
-        docs, threshold, num_hashes, bands, n, id_col, text_col, hash_family
+        docs,
+        threshold,
+        num_hashes,
+        bands,
+        n,
+        id_col,
+        text_col,
+        hash_family,
+        dedup_exact=include_exact,
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     if include_exact:
         eh = docs.select(
@@ -390,6 +517,7 @@ def dedup_clusters(
         pair_e,
         rounds=cc_rounds,
         vertices=docs.select(F.col(id_col).alias("v_id")),
+        verify_converged=check_convergence,
     )
     return comp.select(
         F.col("v_id").alias("doc_id"),

@@ -50,12 +50,14 @@ def read_data_db(
     vertices: (graph_id string, v_id long, labels array<string>)
     edges:    (graph_id string, src long, dst long, key int, type string)
     """
-    # `lines` is scanned TWICE (the per-split carry aggregate below,
-    # then the tagged output), so it carries only the CHEAP first-pass
-    # expressions: trim + a header parse that tokenizes `t` lines only
-    # (`when` evaluates its branch conditionally in codegen — the rare
-    # header lines pay the split, the v/e bulk does not). The full
-    # tokenization happens once, downstream of the carry join.
+    # `lines` is consumed TWICE (the per-split carry aggregate below,
+    # then the tagged output), so the projection is materialized once
+    # via an eager lineage cut — the text scan + trim + header parse
+    # run a single time and both consumers read the materialized
+    # (file, blk, rid, line, hdr) blocks. The header parse tokenizes
+    # `t` lines only (`when` evaluates its branch conditionally in
+    # codegen); the full tokenization happens once, downstream of the
+    # carry join.
     header_toks = F.split("line", " +")
     lines = (
         spark.read.text(path)
@@ -74,6 +76,9 @@ def read_data_db(
             ),
         )
     )
+    from cminer_spark.plans.checkpoint import truncate_lineage
+
+    lines = truncate_lineage(lines)
 
     # Split-parallel forward fill (see module docstring): per-split
     # last header → driver carry computation → broadcast back.

@@ -93,3 +93,81 @@ def test_high_threshold_splits_weak_links(spark, corpus):
 def test_empty_corpus(spark):
     out = dedup_clusters(_docs(spark, []))
     assert out.count() == 0
+
+
+def test_mega_bucket_guard_exact_copies_linear(spark):
+    """A heavily exact-duplicated corpus must not explode the LSH
+    band self-join: with dedup_exact=True a k-copy group contributes
+    ONE banded row, so candidate pairs are O(distinct texts), not
+    O(k^2) — and dedup_clusters still recovers the full cluster via
+    the star edges."""
+    from cminer_spark.pipeline.dedup import (
+        lsh_overflow_buckets,
+        minhash_lsh_candidates,
+    )
+
+    k = 2000
+    rows = [(i, BASE) for i in range(k)]
+    rows += [(k, BASE.replace("lazy", "sleepy"))]
+    rows += [(k + 1, "an unrelated doc about adaptive query execution")]
+    docs = _docs(spark, rows)
+
+    # bands=8 (2 rows/band) so the near-dup pair deterministically
+    # collides (verified: n_bands=3 at this banding)
+    cands = minhash_lsh_candidates(docs, bands=8, dedup_exact=True).collect()
+    # 3 distinct texts -> at most 3 rep pairs (actually only the
+    # near-dup pair collides)
+    assert len(cands) <= 3
+    assert all(r.a in (0, k, k + 1) and r.b in (0, k, k + 1) for r in cands)
+
+    # clustering recovers every copy into the canonical cluster
+    out = dedup_clusters(docs, threshold=0.4, bands=8)
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert set(range(k)) | {k} <= by_cluster[0]  # copies + near-dup
+    assert by_cluster[k + 1] == {k + 1}
+
+    # the overflow report at a tiny cap flags the copy bucket when
+    # banding WITHOUT the exact-dedup guard, and is empty with it
+    assert lsh_overflow_buckets(docs, max_bucket_size=10).count() > 0
+    assert (
+        lsh_overflow_buckets(
+            docs, max_bucket_size=10, dedup_exact=True
+        ).count()
+        == 0
+    )
+
+
+def test_max_bucket_size_cap_filters_buckets(spark):
+    """max_bucket_size drops over-cap buckets from the self-join:
+    with every copy banded identically, a cap below the copy count
+    kills those candidate pairs (the audit path documents the loss)."""
+    from cminer_spark.pipeline.dedup import minhash_lsh_candidates
+
+    rows = [(i, BASE) for i in range(30)]
+    docs = _docs(spark, rows)
+    uncapped = minhash_lsh_candidates(docs).count()
+    capped = minhash_lsh_candidates(docs, max_bucket_size=10).count()
+    assert uncapped == 30 * 29 // 2
+    assert capped == 0
+
+
+def test_dedup_clusters_unconverged_raises(spark):
+    """A duplicate-graph diameter beyond cc_rounds must fail loudly,
+    not silently split clusters: a long chain of near-dups with
+    cc_rounds=1 raises."""
+    words = BASE.split()
+    rows = []
+    # chain: doc i and i+1 differ by one word -> high jaccard links
+    for i in range(8):
+        w = list(words)
+        for j in range(i):
+            w[j] = f"tok{j}"
+        rows.append((i, " ".join(w)))
+    docs = _docs(spark, rows)
+    with pytest.raises(ValueError, match="still changing"):
+        dedup_clusters(docs, threshold=0.5, cc_rounds=1).collect()
+    # ample rounds: no raise, one cluster
+    out = dedup_clusters(docs, threshold=0.5, cc_rounds=8)
+    assert out.select("cluster_id").distinct().count() == 1

@@ -254,3 +254,16 @@ def test_data_db_non_numeric_id_raises(spark, tmp_path):
     v, _e = read_data_db(spark, str(p))
     with pytest.raises(PySparkException, match="non-numeric node id"):
         v.collect()
+
+
+def test_read_data_db_single_text_scan(spark, tmp_path):
+    """The raw text parse must run ONCE: the carry collect
+    materializes the (file, blk, rid, line, hdr) projection, and the
+    returned frames read the materialized blocks — their plans must
+    not contain a second scan of the .data file."""
+    p = tmp_path / "db_scan.data"
+    p.write_text(DB1)
+    v, e = read_data_db(spark, str(p))
+    for df in (v, e):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "db_scan.data" not in plan, plan
