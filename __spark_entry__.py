@@ -661,15 +661,10 @@ def _q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("src", "dst", "type")
 
 
-def _q_mine_edge_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full mining growth loop (G5/A1/A2, reference CMiner.py:492-583)
-    on the per-conversation transactional DB: frequent single-edge
-    patterns, reshaped to (src_label, etype, dst_label, support,
-    frequency) — SQL-expressible at max_edges=1, so the whole
-    seed→extend→support→dedup pipeline is oracle-checked."""
-    from cminer_spark.operators.mining import mine_frequent_patterns
-
-    _ship_package(spark)
+def _mine_db(spark: SparkSession, sf_dir: str):
+    """Shared per-conversation transactional DB for the mining gates:
+    one graph per conv_id, turn vertices labeled by role, tool
+    vertices labeled 'tool'; replies_to + invokes edges."""
     t = gate.transcripts_df(spark, sf_dir)
     turn_id = F.col("user_id") * 100000 + F.col("turn_idx")
     tool_id = F.lit(1_000_000_000) + F.col("event_id") % 7
@@ -701,9 +696,22 @@ def _q_mine_edge_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("key"),
         F.lit("invokes").alias("type"),
     )
+    return turn_v.union(tool_v), reply_e.union(invoke_e)
+
+
+def _q_mine_edge_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mining growth loop (G5/A1/A2, reference CMiner.py:492-583)
+    on the per-conversation transactional DB: frequent single-edge
+    patterns, reshaped to (src_label, etype, dst_label, support,
+    frequency) — SQL-expressible at max_edges=1, so the whole
+    seed→extend→support→dedup pipeline is oracle-checked."""
+    from cminer_spark.operators.mining import mine_frequent_patterns
+
+    _ship_package(spark)
+    v, e = _mine_db(spark, sf_dir)
     mined = mine_frequent_patterns(
-        turn_v.union(tool_v),
-        reply_e.union(invoke_e),
+        v,
+        e,
         min_support=gate.MINE_MINSUP,
         max_edges=1,
         min_nodes=2,
@@ -725,6 +733,66 @@ def _q_mine_edge_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "src_label string, etype string, dst_label string, "
         "support long, frequency long",
+    )
+
+
+def _q_verify_solutions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining-solution re-verification (reference test/checker.py:
+    57-125): mine the transactional DB, serialize through the result
+    sink, parse the text back, and re-verify every claimed support /
+    frequency with an independent match() pass. Emitted keyed by the
+    single-edge triple so the oracle can recompute the ACTUAL counts
+    in SQL — a corrupted claim would surface as verified=false (and a
+    row diff vs the oracle)."""
+    from cminer_spark.operators.mining import (
+        mine_frequent_patterns,
+        patterns_to_df,
+    )
+    from cminer_spark.operators.verify import (
+        parse_solutions_text,
+        verify_solutions,
+    )
+    from cminer_spark.sources.data_format import write_patterns_text
+
+    _ship_package(spark)
+    v, e = _mine_db(spark, sf_dir)
+    mined = mine_frequent_patterns(
+        v,
+        e,
+        min_support=gate.MINE_MINSUP,
+        max_edges=1,
+        min_nodes=2,
+        max_nodes=2,
+    )
+    text_df = write_patterns_text(patterns_to_df(spark, mined))
+    sols = parse_solutions_text(
+        "\n".join(r[0] for r in text_df.collect())
+    )
+    checked = {
+        r["pattern_id"]: r
+        for r in verify_solutions(v, e, sols).collect()
+    }
+    rows = []
+    for i, mp in enumerate(mined):
+        edge = mp.pattern.edges[0]
+        r = checked[str(i)]
+        rows.append(
+            (
+                mp.pattern.nodes[edge.src][0],
+                edge.type,
+                mp.pattern.nodes[edge.dst][0],
+                r["claimed_support"],
+                r["actual_support"],
+                r["claimed_frequency"],
+                r["actual_frequency"],
+                bool(r["support_ok"] and r["frequency_ok"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "src_label string, etype string, dst_label string, "
+        "claimed_support long, actual_support long, "
+        "claimed_frequency long, actual_frequency long, verified boolean",
     )
 
 
@@ -905,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_exact_h2": _q_anf_exact,
         "induced_subgraph": _q_induced_subgraph,
         "mine_edge_patterns": _q_mine_edge_patterns,
+        "verify_solutions": _q_verify_solutions,
         "support_count": _q_support_count,
         "label_catalog": _q_label_catalog,
         "tpch_q1": _q_tpch_q1,
@@ -961,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "anf_exact_h2": gate.anf_exact_oracle_sql(),
         "induced_subgraph": gate.induced_subgraph_oracle_sql(),
         "mine_edge_patterns": gate.mine_edge_patterns_oracle_sql(),
+        "verify_solutions": gate.verify_solutions_oracle_sql(),
         "jaccard_similarity": gate.jaccard_oracle_sql(),
         "support_count": """
             SELECT l_returnflag, l_linestatus,

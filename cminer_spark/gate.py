@@ -907,6 +907,40 @@ HAVING count(DISTINCT g) >= {min_support}"""
     )
 
 
+def verify_solutions_oracle_sql(min_support: int = MINE_MINSUP) -> str:
+    """Independent recomputation of the verify_solutions gate: the
+    actual support/frequency of every frequent single-edge pattern is
+    the mine_edge_patterns aggregate itself; a correct round-trip
+    (mine → sink → parse → re-match) claims exactly those counts, so
+    claimed == actual and verified = true on every row."""
+    return _materialize(
+        f"WITH {TRANSCRIPTS_CTE}"
+        f""",
+e_lab AS (
+  SELECT a.conv_id AS g, a.role AS src_label,
+         'replies_to' AS etype, b.role AS dst_label
+  FROM tr a JOIN tr b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx + 1
+  UNION ALL
+  SELECT conv_id AS g, role AS src_label, 'invokes' AS etype,
+         'tool' AS dst_label
+  FROM tr WHERE tool IS NOT NULL
+),
+agg AS (
+  SELECT src_label, etype, dst_label,
+         count(DISTINCT g) AS support, count(*) AS frequency
+  FROM e_lab
+  GROUP BY src_label, etype, dst_label
+  HAVING count(DISTINCT g) >= {min_support}
+)
+SELECT src_label, etype, dst_label,
+       support AS claimed_support, support AS actual_support,
+       frequency AS claimed_frequency, frequency AS actual_frequency,
+       TRUE AS verified
+FROM agg"""
+    )
+
+
 def degrees_oracle_sql() -> str:
     return _materialize(
         f"WITH {EDGES_CTE}"

@@ -33,6 +33,11 @@ from cminer_spark.operators.stats import (
     rank_churn,
 )
 from cminer_spark.operators.louvain import louvain
+from cminer_spark.operators.verify import (
+    compare_solutions,
+    parse_solutions_text,
+    verify_solutions,
+)
 from cminer_spark.operators.wl import wl_colors, wl_fingerprints
 from cminer_spark.operators.temporal import asof_join, funnel, sessionize
 from cminer_spark.operators.anf import (
@@ -70,6 +75,9 @@ __all__ = [
     "modularity",
     "rank_churn",
     "louvain",
+    "verify_solutions",
+    "parse_solutions_text",
+    "compare_solutions",
     "wl_colors",
     "wl_fingerprints",
     "sessionize",
