@@ -268,7 +268,18 @@ def _conv_stream_kernel(transform):
     return kernel
 
 
-def _prepared(transcripts: DataFrame, partitions: int | None) -> DataFrame:
+def _prepared(
+    transcripts: DataFrame,
+    partitions: int | None,
+    pre_partitioned: bool = False,
+) -> DataFrame:
+    if pre_partitioned:
+        # input already co-locates conversations (bucketed table /
+        # upstream exchange): no repartition — the in-partition sort
+        # is kept as cheap insurance (a presorted pass on bucketed
+        # input; real ordering work only if the caller lied about
+        # layout, never a wrong answer)
+        return transcripts.sortWithinPartitions("conv_id", "turn_idx")
     parts = partitions or transcripts.sparkSession.sparkContext.defaultParallelism
     return transcripts.repartition(parts, "conv_id").sortWithinPartitions(
         "conv_id", "turn_idx"
@@ -280,15 +291,25 @@ def extract_edges(
     partitions: int | None = None,
     with_parallel_keys: bool = False,
     use_arrow: bool = True,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Transcripts → edge table ``(src, dst, type, key, weight,
     src_key, dst_key)``.
 
     ``use_arrow=False`` routes the pairing through the pandas twin
     kernel (same semantics, kept as the readable reference
-    implementation) — used by the kernel A/B benchmarks."""
+    implementation) — used by the kernel A/B benchmarks.
+    ``pre_partitioned=True`` asserts conversations are already
+    co-located per partition (a ``conv_id``-bucketed transcripts
+    table — :func:`cminer_spark.sources.bucketed
+    .write_bucketed_transcripts`): the per-run repartition exchange
+    disappears from the plan, leaving scan → in-partition sort →
+    kernel. At 10^12 turns that exchange IS the extraction bottleneck;
+    bucketing pays it once at ingest."""
     prepared = _prepared(
-        transcripts.select("conv_id", "turn_idx", "tool"), partitions
+        transcripts.select("conv_id", "turn_idx", "tool"),
+        partitions,
+        pre_partitioned,
     )
     if use_arrow:
         raw = prepared.mapInArrow(

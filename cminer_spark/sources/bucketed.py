@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed_edges", "read_bucketed_edges"]
+__all__ = [
+    "write_bucketed_edges",
+    "read_bucketed_edges",
+    "write_bucketed_transcripts",
+    "read_bucketed_transcripts",
+]
 
 
 def write_bucketed_edges(
@@ -48,4 +53,47 @@ def write_bucketed_edges(
 def read_bucketed_edges(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed edge table — the bucket spec rides the catalog
     entry, so downstream ``src``-keyed operators plan shuffle-free."""
+    return spark.read.table(table)
+
+
+def write_bucketed_transcripts(
+    transcripts: DataFrame,
+    table: str,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist transcripts bucketed on ``conv_id`` and sorted by
+    ``(conv_id, turn_idx)`` — the edge-extraction input layout.
+
+    Extraction needs every conversation co-located and ordered; on a
+    raw table that is a full ``repartition(conv_id)`` exchange of
+    10^12 turns PER extraction run. Bucketing pays that exchange once
+    at ingest: ``extract_edges(..., pre_partitioned=True)`` then maps
+    the Arrow kernel straight over the bucket scan — no Exchange in
+    the plan (plan-tested).
+
+    The explicit ``repartition(buckets, conv_id)`` before the write
+    uses the same Murmur3 hash as the bucket spec, so every bucket is
+    written as exactly ONE file and the per-file ``sortBy`` order is
+    the per-BUCKET order a scan task sees. (Without it each write
+    task emits a file per bucket and a bucket scan concatenates
+    sorted runs — which ``pre_partitioned=True`` would re-sort
+    in-partition anyway, but one file per bucket keeps that sort a
+    cheap presorted pass.)
+    """
+    (
+        transcripts.repartition(buckets, "conv_id")
+        .write.mode(mode)
+        .bucketBy(buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed_transcripts(spark: SparkSession, table: str) -> DataFrame:
+    """Read a transcripts table written by
+    :func:`write_bucketed_transcripts` — one scan partition per
+    bucket, conversations co-located; feed to
+    ``extract_edges(..., pre_partitioned=True)``."""
     return spark.read.table(table)

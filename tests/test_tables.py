@@ -91,3 +91,39 @@ def test_bucketed_edges_skip_exchange(spark, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_edges_test")
+
+
+def test_bucketed_transcripts_extraction_no_exchange(spark):
+    """Extraction over a conv_id-bucketed transcripts table plans with
+    NO Exchange (the per-run repartition moved to write time) and
+    produces the exact same edge set as the default path."""
+    from cminer_spark.operators import extract_edges
+    from cminer_spark.sources.bucketed import (
+        read_bucketed_transcripts,
+        write_bucketed_transcripts,
+    )
+    from cminer_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=400, seed=11)
+    spark.sql("DROP TABLE IF EXISTS bkt_tr_test")
+    write_bucketed_transcripts(t, "bkt_tr_test", buckets=8)
+    try:
+        back = read_bucketed_transcripts(spark, "bkt_tr_test")
+        fast = extract_edges(back, pre_partitioned=True)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        want = {
+            tuple(r)
+            for r in extract_edges(t).select(
+                "src", "dst", "type", "key", "src_key", "dst_key"
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in fast.select(
+                "src", "dst", "type", "key", "src_key", "dst_key"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_tr_test")

@@ -49,6 +49,7 @@ N_CONVS = int(os.environ.get("SCALING_CONVS", "8000000"))
 ITERS = int(os.environ.get("SCALING_ITERS", "12"))
 BASE_CORES = int(os.environ.get("SCALING_BASE_CORES", "8"))
 EXTRACT_CONVS = int(os.environ.get("SCALING_EXTRACT_CONVS", "2000000"))
+EXTRACT_REPEATS = int(os.environ.get("SCALING_EXTRACT_REPEATS", "3"))
 DATA_DIR = os.environ.get("SCALING_DATA_DIR", "/tmp/cminer_scaling_big")
 PAIRS = int(os.environ.get("SCALING_PAIRS", "5"))
 TOL = float(os.environ.get("SCALING_TOL", "1e-12"))
@@ -123,10 +124,46 @@ def run_one(cores: int, use_csr: bool = False) -> None:
     # so central estimators measure the neighbors, not the job.
     med = min(steady)
 
-    t1 = time.time()
+    # Extraction, measured like the supersteps: WARM then MIN over
+    # repeats. The r1-r3 estimator was one cold wall-clock shot — it
+    # measured Python-worker fork+import (~2-4s/JVM, a per-process
+    # constant that amortizes to zero over a 10^12-turn corpus) and
+    # hypervisor steal, not the job; extract_sec varied 8.5-23.5s at
+    # the SAME core count across the r3 campaign. Repeats reuse the
+    # warm workers; MIN is the same interference-free estimator the
+    # superstep measurement uses.
     tr = spark.read.parquet(f"{DATA_DIR}/transcripts")
-    n2 = extract_edges(tr, partitions=2 * cores).count()
-    ex_sec = time.time() - t1
+    extract_edges(tr.limit(20000), partitions=2 * cores).count()  # warm
+    ex_secs = []
+    n2 = 0
+    for _ in range(EXTRACT_REPEATS):
+        t1 = time.time()
+        n2 = extract_edges(tr, partitions=2 * cores).count()
+        ex_secs.append(round(time.time() - t1, 2))
+    ex_sec = min(ex_secs)
+
+    # Bucketed-input variant: conversations co-located at write time
+    # (sources/bucketed.write_bucketed_transcripts), extraction plans
+    # scan → sort-within-partition → kernel with NO Exchange. The
+    # bucketed write itself is untimed (at 10^12 turns it happens once
+    # per ingest, not per extraction).
+    from cminer_spark.sources.bucketed import (
+        read_bucketed_transcripts,
+        write_bucketed_transcripts,
+    )
+
+    spark.sql(f"DROP TABLE IF EXISTS scaling_tr_bkt_{cores}")
+    write_bucketed_transcripts(
+        tr, f"scaling_tr_bkt_{cores}", buckets=2 * cores
+    )
+    bkt = read_bucketed_transcripts(spark, f"scaling_tr_bkt_{cores}")
+    bex_secs = []
+    for _ in range(EXTRACT_REPEATS):
+        t1 = time.time()
+        extract_edges(bkt, pre_partitioned=True).count()
+        bex_secs.append(round(time.time() - t1, 2))
+    bex_sec = min(bex_secs)
+    spark.sql(f"DROP TABLE IF EXISTS scaling_tr_bkt_{cores}")
 
     print(
         json.dumps(
@@ -138,8 +175,12 @@ def run_one(cores: int, use_csr: bool = False) -> None:
                 "superstep_secs": info.superstep_secs,
                 "min_steady_sec": round(med, 3),
                 "edges_per_sec_per_superstep": round(n_edges / med, 1),
-                "extract_sec": round(ex_sec, 2),
+                "extract_secs": ex_secs,
+                "extract_sec": ex_sec,
                 "extract_edges_per_sec": round(n2 / ex_sec, 1),
+                "extract_bkt_secs": bex_secs,
+                "extract_bkt_sec": bex_sec,
+                "extract_bkt_edges_per_sec": round(n2 / bex_sec, 1),
                 "salted": info.salted,
             }
         )
@@ -170,12 +211,29 @@ def orchestrate() -> None:
             4 * lo["edges_per_sec_per_superstep"]
         )
         eff_ex = hi["extract_edges_per_sec"] / (4 * lo["extract_edges_per_sec"])
-        pairs.append({"pair": i, "lo": lo, "hi": hi, "eff": eff, "eff_extract": eff_ex})
-        print(f"pair {i}: efficiency {eff:.3f} (extract {eff_ex:.3f})", flush=True)
+        eff_bx = hi["extract_bkt_edges_per_sec"] / (
+            4 * lo["extract_bkt_edges_per_sec"]
+        )
+        pairs.append(
+            {
+                "pair": i,
+                "lo": lo,
+                "hi": hi,
+                "eff": eff,
+                "eff_extract": eff_ex,
+                "eff_extract_bkt": eff_bx,
+            }
+        )
+        print(
+            f"pair {i}: efficiency {eff:.3f} "
+            f"(extract {eff_ex:.3f}, bucketed {eff_bx:.3f})",
+            flush=True,
+        )
 
     effs = sorted(p["eff"] for p in pairs)
     eff_med = statistics.median(effs)
     eff_ex_med = statistics.median(p["eff_extract"] for p in pairs)
+    eff_bx_med = statistics.median(p["eff_extract_bkt"] for p in pairs)
     med_pair = min(pairs, key=lambda p: abs(p["eff"] - eff_med))
     lo, hi = med_pair["lo"], med_pair["hi"]
     speedup_pr = hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]
@@ -185,12 +243,13 @@ def orchestrate() -> None:
     csr32 = _spawn(hi_cores, csr=True)
 
     pair_rows = "\n".join(
-        "| {i} | {a:,.0f} | {b:,.0f} | {e:.3f} | {x:.3f} |".format(
+        "| {i} | {a:,.0f} | {b:,.0f} | {e:.3f} | {x:.3f} | {bx:.3f} |".format(
             i=p["pair"],
             a=p["lo"]["edges_per_sec_per_superstep"],
             b=p["hi"]["edges_per_sec_per_superstep"],
             e=p["eff"],
             x=p["eff_extract"],
+            bx=p["eff_extract_bkt"],
         )
         for p in pairs
     )
@@ -243,12 +302,25 @@ conversations) → **{lo['n_edges']:,} edges**.
 | PageRank scaling efficiency, median of {PAIRS} pairs | **{eff_med:.3f}** |
 | all pair efficiencies (sorted) | {", ".join(f"{e:.3f}" for e in effs)} |
 | edge-extraction scaling efficiency (median) | {eff_ex_med:.3f} |
+| bucketed-input extraction scaling efficiency (median) | {eff_bx_med:.3f} |
 | median pair: local[{BASE_CORES}] → local[{hi_cores}] edges/s/superstep | {lo['edges_per_sec_per_superstep']:,.0f} → {hi['edges_per_sec_per_superstep']:,.0f} ({speedup_pr:.2f}×) |
+
+Extraction estimator (round-4 change): WARM workers + MIN of
+{EXTRACT_REPEATS} repeats per run — the same interference-free
+estimator as the superstep rows. The r1-r3 extraction row was one
+COLD wall-clock shot, which measured Python-worker fork+import (a
+per-process constant that amortizes to zero over a 10^12-turn corpus)
+plus hypervisor steal; it swung 8.5→23.5s at the SAME core count
+across the r3 campaign, so its 0.276 "efficiency" was an estimator
+artifact as much as a code property. The bucketed row additionally
+removes the per-run repartition Exchange (conversations co-located at
+write time via `sources/bucketed.write_bucketed_transcripts`; plan
+verified Exchange-free in tests/test_tables.py).
 
 ## All pairs
 
-| pair | local[{BASE_CORES}] e/s/step | local[{hi_cores}] e/s/step | efficiency | extract eff |
-|---|---|---|---|---|
+| pair | local[{BASE_CORES}] e/s/step | local[{hi_cores}] e/s/step | efficiency | extract eff | extract bkt eff |
+|---|---|---|---|---|---|
 {pair_rows}
 
 ## CSR adjacency A/B (local[{hi_cores}], informational)
@@ -285,6 +357,11 @@ def extract_one(cores: int) -> None:
     workers, then report the best of 3 timed extract+count passes."""
     from cminer_spark.operators import extract_edges
 
+    from cminer_spark.sources.bucketed import (
+        read_bucketed_transcripts,
+        write_bucketed_transcripts,
+    )
+
     spark = _session("extract-run", cores)
     tr = spark.read.parquet(f"{DATA_DIR}/transcripts")
     extract_edges(tr.limit(20000), partitions=2 * cores).count()  # warm workers
@@ -295,10 +372,25 @@ def extract_one(cores: int) -> None:
         n = extract_edges(tr, partitions=2 * cores).count()
         sec = time.time() - t0
         best = sec if best is None else min(best, sec)
+    # bucketed-input variant: the repartition Exchange paid once at
+    # (untimed) write time, extraction = scan → in-partition sort →
+    # kernel with no shuffle
+    spark.sql(f"DROP TABLE IF EXISTS extr_tr_bkt_{cores}")
+    write_bucketed_transcripts(tr, f"extr_tr_bkt_{cores}", buckets=2 * cores)
+    bkt = read_bucketed_transcripts(spark, f"extr_tr_bkt_{cores}")
+    bbest = None
+    for _ in range(3):
+        t0 = time.time()
+        extract_edges(bkt, pre_partitioned=True).count()
+        sec = time.time() - t0
+        bbest = sec if bbest is None else min(bbest, sec)
+    spark.sql(f"DROP TABLE IF EXISTS extr_tr_bkt_{cores}")
     print(
         json.dumps(
             {"cores": cores, "edges": n, "best_sec": round(best, 2),
-             "edges_per_sec": round(n / best, 1)}
+             "edges_per_sec": round(n / best, 1),
+             "bkt_best_sec": round(bbest, 2),
+             "bkt_edges_per_sec": round(n / bbest, 1)}
         )
     )
     spark.stop()
@@ -336,15 +428,20 @@ def extract_campaign() -> None:
         lo = _spawn_extract(BASE_CORES)
         hi = _spawn_extract(hi_cores)
         eff = hi["edges_per_sec"] / (4 * lo["edges_per_sec"])
-        pairs.append({"pair": i, "lo": lo, "hi": hi, "eff": eff})
-        print(f"extract pair {i}: efficiency {eff:.3f}", flush=True)
+        beff = hi["bkt_edges_per_sec"] / (4 * lo["bkt_edges_per_sec"])
+        pairs.append({"pair": i, "lo": lo, "hi": hi, "eff": eff, "beff": beff})
+        print(
+            f"extract pair {i}: efficiency {eff:.3f} (bucketed {beff:.3f})",
+            flush=True,
+        )
     effs = sorted(p["eff"] for p in pairs)
     med = statistics.median(effs)
+    bmed = statistics.median(p["beff"] for p in pairs)
     med_pair = min(pairs, key=lambda p: abs(p["eff"] - med))
     rows = "\n".join(
-        "| {i} | {a:,.0f} | {b:,.0f} | {e:.3f} |".format(
+        "| {i} | {a:,.0f} | {b:,.0f} | {e:.3f} | {be:.3f} |".format(
             i=p["pair"], a=p["lo"]["edges_per_sec"],
-            b=p["hi"]["edges_per_sec"], e=p["eff"],
+            b=p["hi"]["edges_per_sec"], e=p["eff"], be=p["beff"],
         )
         for p in pairs
     )
@@ -371,8 +468,19 @@ Input: {EXTRACT_CONVS:,} conversations → {med_pair['lo']['edges']:,} edges.
 | metric | value |
 |---|---|
 | extraction scaling efficiency, median of {PAIRS} pairs | **{med:.3f}** |
+| bucketed-input extraction scaling efficiency (median) | **{bmed:.3f}** |
 | all pair efficiencies (sorted) | {", ".join(f"{e:.3f}" for e in effs)} |
 | median pair: local[{BASE_CORES}] → local[{hi_cores}] edges/s | {med_pair['lo']['edges_per_sec']:,.0f} → {med_pair['hi']['edges_per_sec']:,.0f} |
+
+The bucketed rows read a transcripts table bucketed on ``conv_id``
+(`sources/bucketed.write_bucketed_transcripts`, Exchange paid once at
+untimed write time) through `extract_edges(pre_partitioned=True)` —
+scan → in-partition sort → Arrow kernel, NO shuffle in the plan
+(plan-tested in tests/test_tables.py).
+
+| pair | local[{BASE_CORES}] e/s | local[{hi_cores}] e/s | efficiency | bucketed eff |
+|---|---|---|---|---|
+{rows}
 
 Raw runs:
 
