@@ -27,13 +27,16 @@ from pyspark.sql import functions as F
 
 from cminer_spark import gate, gate_events, gate_pipeline
 from cminer_spark.operators import (
+    conductance,
     degrees,
     degrees_by_type,
+    eigenvector_centrality,
     extract_edges,
     hashmin_components,
     hits,
     katz,
     label_propagation,
+    link_prediction_scores,
     pagerank,
     triangle_counts,
 )
@@ -348,6 +351,44 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
+
+
+def _q_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores, _info = eigenvector_centrality(
+        gate.gate_edges_df(spark, sf_dir), max_iter=gate.EIG_ITERS, tol=0.0
+    )
+    return scores.select("v_id", F.round("score", 6).alias("score"))
+
+
+def _q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = link_prediction_scores(
+        gate.gate_edges_df(spark, sf_dir),
+        min_shared=1,
+        max_pivot_degree=gate.LINKPRED_CAP,
+        exclude_existing=True,
+    )
+    return lp.select(
+        "a",
+        "b",
+        "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "pref_attachment",
+    )
+
+
+def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = gate.gate_edges_df(spark, sf_dir)
+    labels, _ = label_propagation(
+        edges, max_rounds=gate.LPA_ROUNDS, stop_when_stable=False
+    )
+    part = labels.select("v_id", F.col("label").alias("community"))
+    return conductance(edges, part).select(
+        "community",
+        "cut_edges",
+        "volume",
+        F.round("conductance", 6).alias("conductance"),
+    )
 
 
 def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,8 +926,11 @@ _DRIVER_WINDOW: list[str] = [
     "asof_view_before_purchase",
     "funnel_signup_view_purchase",
     "event_cooccurrence",
-    # new this round
+    # new operators this round (r4) — never driver-checked
     "verify_solutions",
+    "eigenvector_k5",
+    "link_pred_scores",
+    "conductance_lpa",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -959,6 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_2sweep": _q_diameter,
         "betweenness_landmarks": _q_betweenness,
         "modularity_lpa": _q_modularity,
+        "conductance_lpa": _q_conductance,
+        "eigenvector_k5": _q_eigen,
+        "link_pred_scores": _q_linkpred,
         "lpa_k3": _q_lpa,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -1016,6 +1063,9 @@ def oracle_sql() -> dict[str, str]:
         "diameter_2sweep": gate.diameter_oracle_sql(),
         "betweenness_landmarks": gate.betweenness_oracle_sql(),
         "modularity_lpa": gate.modularity_oracle_sql(),
+        "conductance_lpa": gate.conductance_oracle_sql(),
+        "eigenvector_k5": gate.eigenvector_oracle_sql(),
+        "link_pred_scores": gate.link_pred_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),

@@ -143,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         "--algorithm",
         choices=[
             "pagerank", "components", "lpa", "triangles", "katz", "louvain",
+            "eigenvector",
         ],
         default="pagerank",
     )
@@ -266,6 +267,19 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         meta.update(iterations=kinfo.iterations, converged=kinfo.converged)
+    elif args.algorithm == "eigenvector":
+        from cminer_spark.operators import eigenvector_centrality
+
+        out, einfo = eigenvector_centrality(
+            edges, max_iter=args.max_iter, tol=args.tol
+        )
+        meta.update(
+            iterations=einfo.iterations,
+            converged=einfo.converged,
+            eigenvalue=einfo.eigenvalue_estimates[-1]
+            if einfo.eigenvalue_estimates
+            else None,
+        )
     elif args.algorithm == "louvain":
         from cminer_spark.operators import louvain
 

@@ -1434,3 +1434,100 @@ SELECT coalesce(o.v_id, i.v_id) AS v_id,
 FROM outd o
 FULL OUTER JOIN ind i ON o.v_id = i.v_id AND o.type = i.type"""
     )
+
+
+EIG_ITERS = 5
+
+
+def eigenvector_oracle_sql(k: int = EIG_ITERS) -> str:
+    """Unrolled power iteration ``x ← Aᵀx / ‖Aᵀx‖₂`` from the uniform
+    unit vector — matches
+    :func:`cminer_spark.operators.eigen.eigenvector_centrality` in
+    fixed-k mode (compared on ``round(score, 6)``). Each step divides
+    the PREVIOUS vector's elements first and then multiply-sums,
+    exactly the engine's operation order."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+adjw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM edges GROUP BY src, dst),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+x0 AS (SELECT v, 1.0 / sqrt(nv.n) AS x FROM verts CROSS JOIN nv)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+m{i} AS (SELECT a.dst AS v, sum(a.w * x.x) AS m
+         FROM adjw a JOIN x{i-1} x ON a.src = x.v GROUP BY a.dst),
+n{i} AS (SELECT sqrt(sum(m * m)) AS nrm FROM m{i}),
+x{i} AS (SELECT v.v, coalesce(m.m, 0.0) / n.nrm AS x
+         FROM verts v LEFT JOIN m{i} m ON v.v = m.v CROSS JOIN n{i} n)"""
+        )
+    parts.append(f"\nSELECT v AS v_id, round(x, 6) AS score FROM x{k}")
+    return _materialize("".join(parts))
+
+
+LINKPRED_CAP = 10
+
+
+def link_pred_oracle_sql(cap: int = LINKPRED_CAP) -> str:
+    """Wedge-aggregated link-prediction scores with the pivot-degree
+    cap — matches :func:`cminer_spark.operators.linkpred
+    .link_prediction_scores` (``min_shared=1``,
+    ``max_pivot_degree=cap``, existing edges excluded; floats compared
+    on ``round(·, 6)``)."""
+    return _materialize(
+        f"WITH {EDGES_CTE}"
+        + f""",
+deg AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+piv AS (SELECT s.u AS pivot, s.v, d.deg AS pdeg
+        FROM sym s JOIN deg d ON s.u = d.v
+        WHERE d.deg <= {cap}),
+pairs AS (SELECT e1.v AS a, e2.v AS b,
+                 CAST(count(*) AS BIGINT) AS common_neighbors,
+                 round(sum(1.0 / ln(CAST(e1.pdeg AS DOUBLE))), 6) AS adamic_adar,
+                 round(sum(1.0 / CAST(e1.pdeg AS DOUBLE)), 6) AS resource_allocation
+          FROM piv e1 JOIN piv e2 ON e1.pivot = e2.pivot AND e1.v < e2.v
+          GROUP BY e1.v, e2.v),
+cand AS (SELECT p.* FROM pairs p
+         WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = p.a AND s.v = p.b))
+SELECT c.a, c.b, c.common_neighbors, c.adamic_adar, c.resource_allocation,
+       CAST(da.deg * db.deg AS BIGINT) AS pref_attachment
+FROM cand c JOIN deg da ON c.a = da.v JOIN deg db ON c.b = db.v"""
+    )
+
+
+def conductance_oracle_sql(k: int = LPA_ROUNDS) -> str:
+    """Per-community conductance of the k-round LPA partition —
+    integer cut/volume statistics, one final double expression
+    (matches :func:`cminer_spark.operators.stats.conductance`)."""
+    return _materialize(
+        _lpa_ctes(k)
+        + f""",
+und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM edges WHERE src <> dst),
+elab AS (SELECT la.label AS c_lo, lb.label AS c_hi
+         FROM und u
+         JOIN lab{k} la ON u.lo = la.v_id
+         JOIN lab{k} lb ON u.hi = lb.v_id),
+contrib AS (
+  SELECT c_lo AS c,
+         CASE WHEN c_lo = c_hi THEN 1 ELSE 0 END AS intra,
+         CASE WHEN c_lo <> c_hi THEN 1 ELSE 0 END AS cut
+  FROM elab
+  UNION ALL
+  SELECT c_hi AS c, 0 AS intra, 1 AS cut FROM elab WHERE c_lo <> c_hi
+),
+perc AS (SELECT c, CAST(sum(intra) AS BIGINT) AS i,
+                CAST(sum(cut) AS BIGINT) AS cutc
+         FROM contrib GROUP BY c),
+tot AS (SELECT CAST(sum(i) + sum(cutc) / 2 AS BIGINT) AS m FROM perc)
+SELECT p.c AS community,
+       p.cutc AS cut_edges,
+       CAST(2 * p.i + p.cutc AS BIGINT) AS volume,
+       CASE WHEN least(2 * p.i + p.cutc, 2 * t.m - (2 * p.i + p.cutc)) > 0
+            THEN round(CAST(p.cutc AS DOUBLE)
+                       / CAST(least(2 * p.i + p.cutc,
+                                    2 * t.m - (2 * p.i + p.cutc)) AS DOUBLE), 6)
+            ELSE 0.0 END AS conductance
+FROM perc p CROSS JOIN tot t"""
+    )

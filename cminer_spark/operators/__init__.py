@@ -26,12 +26,15 @@ from cminer_spark.operators.walks import node2vec_walks, random_walks
 from cminer_spark.operators.triangles import triangle_counts
 from cminer_spark.operators.truss import ktruss_edges
 from cminer_spark.operators.stats import (
+    conductance,
     degree_assortativity,
     degree_histogram,
     graph_summary,
     modularity,
     rank_churn,
 )
+from cminer_spark.operators.eigen import eigenvector_centrality
+from cminer_spark.operators.linkpred import link_prediction_scores
 from cminer_spark.operators.louvain import louvain
 from cminer_spark.operators.verify import (
     compare_solutions,
@@ -73,7 +76,10 @@ __all__ = [
     "degree_histogram",
     "degree_assortativity",
     "modularity",
+    "conductance",
     "rank_churn",
+    "eigenvector_centrality",
+    "link_prediction_scores",
     "louvain",
     "verify_solutions",
     "parse_solutions_text",

@@ -204,6 +204,102 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the SIMPLE undirected
+    projection: ``φ(c) = cut(c) / min(vol(c), 2m − vol(c))``.
+
+    The community-quality twin of :func:`modularity` at the
+    per-community grain — low conductance = few edges leave the
+    community relative to its volume. ``labels`` is ``(v_id,
+    community)``; vertices missing from it form the implicit
+    community of their own id (same convention as :func:`modularity`).
+
+    Returns ``(community, cut_edges, volume, conductance)`` —
+    ``cut_edges``/``volume`` are exact integers; ``conductance`` is
+    one closed-form double over them (engine-deterministic, gate
+    ``conductance_lpa``). Communities spanning the whole graph
+    (``min(vol, 2m − vol) = 0``) get 0.0 by convention.
+
+    Plan shape: the pair-dedup shuffle, two label joins, then ONE
+    per-community aggregate over an exploded 2-rows-per-cut-edge
+    contribution frame — ``vol = 2·in_c + cut_c`` needs no separate
+    degree pass.
+    """
+    lab = labels.select("v_id", "community")
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+    llo = lab.select(F.col("v_id").alias("lo"), F.col("community").alias("c_lo"))
+    lhi = lab.select(F.col("v_id").alias("hi"), F.col("community").alias("c_hi"))
+    e_lab = (
+        und.join(llo, "lo", "left")
+        .join(lhi, "hi", "left")
+        .select(
+            F.coalesce("c_lo", F.col("lo")).alias("c_lo"),
+            F.coalesce("c_hi", F.col("hi")).alias("c_hi"),
+        )
+    )
+    contrib = e_lab.select(
+        F.explode(
+            F.when(
+                F.col("c_lo") == F.col("c_hi"),
+                F.array(
+                    F.struct(
+                        F.col("c_lo").alias("c"),
+                        F.lit(1).alias("intra"),
+                        F.lit(0).alias("cut"),
+                    )
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("c_lo").alias("c"),
+                        F.lit(0).alias("intra"),
+                        F.lit(1).alias("cut"),
+                    ),
+                    F.struct(
+                        F.col("c_hi").alias("c"),
+                        F.lit(0).alias("intra"),
+                        F.lit(1).alias("cut"),
+                    ),
+                )
+            )
+        ).alias("t")
+    )
+    per_c = contrib.groupBy(F.col("t.c").alias("community")).agg(
+        F.sum("t.intra").cast("long").alias("in_c"),
+        F.sum("t.cut").cast("long").alias("cut_edges"),
+    )
+    # total m recovered from the community-grain aggregate itself —
+    # every edge contributed either one intra row or two cut rows, so
+    # m = Σ in_c + Σ cut_c / 2; the unpartitioned window runs over
+    # |communities| rows (not |E|), keeping e_lab to ONE scan
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    per_c = per_c.withColumn(
+        "_m",
+        (F.sum("in_c").over(wall) + F.sum("cut_edges").over(wall) / F.lit(2))
+        .cast("long"),
+    )
+    vol = (F.lit(2) * F.col("in_c") + F.col("cut_edges")).cast("long")
+    denom = F.least(vol, F.lit(2) * F.col("_m") - vol)
+    return per_c.select(
+        "community",
+        "cut_edges",
+        vol.alias("volume"),
+        F.when(
+            denom > 0, F.col("cut_edges").cast("double") / denom.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conductance"),
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Directed out–in degree assortativity (Newman 2002 Pearson r):
     over multigraph edge rows (u, v), the correlation of

@@ -6,6 +6,7 @@ import math
 import random
 
 import networkx as nx
+import pytest
 
 from cminer_spark.operators.stats import (
     degree_assortativity,
@@ -200,3 +201,72 @@ def test_rank_churn_gate_parity(spark):
         for row in con.execute(gate.rank_churn_oracle_sql()).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- conductance
+
+
+def test_conductance_two_cliques_bridge(spark):
+    """Two triangles joined by one bridge edge: each community cuts 1
+    edge and has volume 2*3+1 = 7 → φ = 1/7."""
+    from cminer_spark.operators.stats import conductance
+
+    tri_a = [(0, 1), (1, 2), (0, 2)]
+    tri_b = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)]
+    e = edges_df(spark, tri_a + tri_b + bridge)
+    labels = spark.createDataFrame(
+        [(v, 100 if v < 3 else 200) for v in range(6)], "v_id long, community long"
+    )
+    rows = {r["community"]: r for r in conductance(e, labels).collect()}
+    assert set(rows) == {100, 200}
+    for c in (100, 200):
+        assert rows[c]["cut_edges"] == 1
+        assert rows[c]["volume"] == 7
+        assert rows[c]["conductance"] == 1.0 / 7.0
+
+
+def test_conductance_matches_networkx(spark):
+    from cminer_spark.operators.stats import conductance
+
+    pairs = _rand_digraph(n=30, m=120, seed=13)
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    labels = {v: v % 3 for v in g.nodes}
+    ldf = spark.createDataFrame(
+        [(int(v), int(c)) for v, c in labels.items()], "v_id long, community long"
+    )
+    got = {
+        r["community"]: r for r in conductance(edges_df(spark, pairs), ldf).collect()
+    }
+    for c in (0, 1, 2):
+        s = {v for v, lb in labels.items() if lb == c}
+        want = nx.conductance(g, s)
+        assert got[c]["conductance"] == pytest.approx(want, abs=1e-12), c
+        assert got[c]["cut_edges"] == nx.cut_size(g, s)
+        assert got[c]["volume"] == nx.volume(g, s)
+
+
+def test_conductance_whole_graph_community_is_zero(spark):
+    from cminer_spark.operators.stats import conductance
+
+    e = edges_df(spark, [(0, 1), (1, 2)])
+    labels = spark.createDataFrame(
+        [(0, 9), (1, 9), (2, 9)], "v_id long, community long"
+    )
+    rows = conductance(e, labels).collect()
+    assert len(rows) == 1
+    assert rows[0]["cut_edges"] == 0 and rows[0]["conductance"] == 0.0
+
+
+def test_conductance_missing_labels_default_to_singletons(spark):
+    from cminer_spark.operators.stats import conductance
+
+    e = edges_df(spark, [(0, 1)])
+    labels = spark.createDataFrame([(0, 5)], "v_id long, community long")
+    rows = {r["community"]: r for r in conductance(e, labels).collect()}
+    # vertex 1 falls back to community id 1
+    assert set(rows) == {5, 1}
+    for c in (5, 1):
+        assert rows[c]["cut_edges"] == 1 and rows[c]["volume"] == 1
+        assert rows[c]["conductance"] == 1.0
