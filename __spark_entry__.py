@@ -539,6 +539,22 @@ def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def _q_lpa_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start contract: resume from the round-k labels for 2 more
+    rounds; must equal a contiguous (k+2)-round run (the oracle)."""
+    edges = gate.gate_edges_df(spark, sf_dir)
+    base, _ = label_propagation(
+        edges, max_rounds=gate.LPA_ROUNDS, stop_when_stable=False
+    )
+    labels, _ = label_propagation(
+        edges,
+        max_rounds=gate.LPA_WARM_EXTRA,
+        initial_labels=base,
+        stop_when_stable=False,
+    )
+    return labels
+
+
 def _q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pv, total = triangle_counts(gate.gate_edges_df(spark, sf_dir))
     return spark.createDataFrame([(total,)], "n_triangles long")
@@ -931,6 +947,7 @@ _DRIVER_WINDOW: list[str] = [
     "eigenvector_k5",
     "link_pred_scores",
     "conductance_lpa",
+    "lpa_warm_resume",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1007,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_k5": _q_eigen,
         "link_pred_scores": _q_linkpred,
         "lpa_k3": _q_lpa,
+        "lpa_warm_resume": _q_lpa_warm,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
@@ -1067,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector_k5": gate.eigenvector_oracle_sql(),
         "link_pred_scores": gate.link_pred_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
+        "lpa_warm_resume": gate.lpa_warm_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
         # incremental splice must equal the full recount — same oracle

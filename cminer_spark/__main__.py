@@ -243,8 +243,18 @@ def main(argv: list[str] | None = None) -> int:
             out, cinfo = connected_components(edges, checkpoint=ck)
         meta.update(rounds=cinfo.rounds, n_components=cinfo.n_components)
     elif args.algorithm == "lpa":
+        # --prev-labels warm-starts from a previous run's labels
+        # (ingest-delta pattern: near-fixpoint init converges in a
+        # round or two instead of from-scratch rounds)
         out, linfo = label_propagation(
-            edges, max_rounds=args.lpa_rounds, checkpoint=ck
+            edges,
+            max_rounds=args.lpa_rounds,
+            checkpoint=ck,
+            initial_labels=(
+                read_table(spark, args.prev_labels)
+                if args.prev_labels
+                else None
+            ),
         )
         meta.update(rounds=linfo.rounds, converged=linfo.converged)
     elif args.algorithm == "katz":

@@ -488,6 +488,20 @@ def lpa_oracle_sql(k: int = LPA_ROUNDS) -> str:
     return _materialize(_lpa_ctes(k) + f"\nSELECT v_id, label FROM lab{k}")
 
 
+LPA_WARM_EXTRA = 2
+
+
+def lpa_warm_oracle_sql(
+    k: int = LPA_ROUNDS, extra: int = LPA_WARM_EXTRA
+) -> str:
+    """Oracle for the warm-start contract: LPA resumed from the
+    round-``k`` labels (``initial_labels=``, the ``--prev-labels``
+    ingest path) for ``extra`` more rounds must equal one contiguous
+    ``k + extra``-round run — warm-start is a continuation, not a
+    different algorithm."""
+    return lpa_oracle_sql(k + extra)
+
+
 def modularity_oracle_sql(k: int = LPA_ROUNDS) -> str:
     """Newman modularity of the k-round LPA partition — integer
     intra-edge and squared-degree-sum totals with one closed-form

@@ -1,6 +1,7 @@
 from cminer_spark.operators.edges import (
     extract_edges,
     extract_edges_delta,
+    extract_edges_sql,
     passthrough_turns,
     vertices_from_transcripts,
 )
@@ -52,6 +53,7 @@ from cminer_spark.operators.anf import (
 __all__ = [
     "extract_edges",
     "extract_edges_delta",
+    "extract_edges_sql",
     "passthrough_turns",
     "vertices_from_transcripts",
     "degrees",

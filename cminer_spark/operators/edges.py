@@ -319,6 +319,13 @@ def extract_edges(
         raw = prepared.mapInPandas(
             _conv_stream_kernel(_edges_from_batch), schema=_KERNEL_SCHEMA
         )
+    return _finalize_edges(raw, with_parallel_keys)
+
+
+def _finalize_edges(raw: DataFrame, with_parallel_keys: bool) -> DataFrame:
+    """Compact kernel columns ``(conv_id, src_turn, dst_turn, tool)``
+    → the edge table. Key strings + ``xxhash64`` in whole-stage
+    codegen; shared by the Arrow/pandas kernels and the SQL twin."""
     src_key = F.concat_ws("#", "conv_id", "src_turn")
     dst_key = F.when(
         F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
@@ -340,6 +347,62 @@ def extract_edges(
     else:
         edges = edges.withColumn("key", F.lit(0))
     return edges.select("src", "dst", "type", "key", "weight", "src_key", "dst_key")
+
+
+def extract_edges_sql(
+    transcripts: DataFrame,
+    partitions: int | None = None,
+    with_parallel_keys: bool = False,
+    pre_partitioned: bool = False,
+) -> DataFrame:
+    """All-JVM twin of :func:`extract_edges`: the consecutive-turn
+    pairing is a ``lag()`` window instead of the Arrow kernel, so the
+    whole plan is whole-stage codegen with zero Python workers.
+
+    Same output contract and row set as :func:`extract_edges` on any
+    input whose ``(conv_id, turn_idx)`` pairs are unique (both paths
+    order ties positionally, so duplicate turn indices pair in an
+    engine-chosen order either way — parity-tested on the synthetic
+    corpus and crafted fixtures).
+
+    Role: measurement instrument and fallback. The north-rule input
+    path mandates vectorized Arrow UDFs for edge building, so
+    :func:`extract_edges` stays the default; this twin exists to
+    ISOLATE the Python-worker cost in scaling campaigns
+    (BENCH/BASELINE.md) — if the SQL plan scales with cores while the
+    Arrow plan saturates, the ceiling is Arrow worker transfer, not
+    the pairing algorithm — and as the fast path for no-text inputs
+    where the kernel's invariant plumbing isn't needed.
+
+    Plan shape: the window's required distribution (clustered on
+    ``conv_id``) and ordering are exactly what :func:`_prepared`
+    provides, so no extra Exchange or Sort appears — scan →
+    [exchange unless ``pre_partitioned``] → in-partition sort →
+    window → project, mirroring the kernel plan with the Python
+    stage replaced by codegen.
+    """
+    prepared = _prepared(
+        transcripts.select("conv_id", "turn_idx", "tool"),
+        partitions,
+        pre_partitioned,
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = prepared.withColumn("prev_turn", F.lag("turn_idx").over(w))
+    replies = base.where(F.col("prev_turn").isNotNull()).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("src_turn"),
+        F.col("prev_turn").cast("int").alias("dst_turn"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    invokes = base.where(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("src_turn"),
+        F.lit(None).cast("int").alias("dst_turn"),
+        "tool",
+    )
+    return _finalize_edges(replies.unionAll(invokes), with_parallel_keys)
 
 
 def extract_edges_delta(

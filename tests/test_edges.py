@@ -248,3 +248,42 @@ def test_delta_extraction_noop_when_nothing_changed(spark):
     empty = spark.createDataFrame([], "conv_id string")
     got = extract_edges_delta(t, prev, empty)
     assert got.count() == prev.count()
+
+
+def test_sql_twin_matches_arrow_full_contract(spark):
+    """extract_edges_sql must reproduce the Arrow kernel's FULL output
+    (all columns, both edge types, parallel keys) on the synthetic
+    corpus and on crafted gappy/empty-tool fixtures."""
+    from cminer_spark.operators import extract_edges_sql
+
+    t = synth_transcripts(spark, n_convs=120, seed=3)
+    a = extract_edges(t, with_parallel_keys=True)
+    s = extract_edges_sql(t, with_parallel_keys=True)
+    assert a.exceptAll(s).count() == 0
+    assert s.exceptAll(a).count() == 0
+
+    rows = [
+        # gappy turn indices, empty-string tool (no invokes edge),
+        # single-turn conversation, NULL conv_id conversation
+        ("c1", 0, None), ("c1", 2, ""), ("c1", 7, "search"),
+        ("c2", 5, "wiki"),
+        (None, 0, None), (None, 3, None),
+    ]
+    fx = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    a2 = extract_edges(fx)
+    s2 = extract_edges_sql(fx)
+    assert a2.exceptAll(s2).count() == 0
+    assert s2.exceptAll(a2).count() == 0
+    # empty-string tool emits no invokes edge in either path
+    assert s2.where(F.col("dst_key") == "tool:").count() == 0
+
+
+def test_sql_twin_plan_has_no_python_stage(spark):
+    """The SQL twin's physical plan must contain zero Python/Arrow
+    eval nodes (the whole point: isolate the Python-worker cost)."""
+    from cminer_spark.operators import extract_edges_sql
+
+    t = synth_transcripts(spark, n_convs=10, seed=1)
+    plan = extract_edges_sql(t)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan and "FlatMapGroupsInPandas" not in plan

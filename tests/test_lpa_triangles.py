@@ -134,3 +134,39 @@ def test_incremental_triangles_hub_delta(spark):
     want_pv, want_total = triangle_counts(edges_df(spark, base + delta))
     assert got_total == want_total
     assert _tri_map(got_pv) == _tri_map(want_pv)
+
+
+def test_lpa_warm_start_equals_contiguous_run(spark):
+    """Resuming from round-k labels via initial_labels for j more
+    rounds must equal one contiguous (k+j)-round run (the
+    --prev-labels ingest contract; gate lpa_warm_resume)."""
+    rng = random.Random(31)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(120)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = edges_df(spark, pairs)
+    base, _ = label_propagation(df, max_rounds=3, stop_when_stable=False)
+    warm, _ = label_propagation(
+        df, max_rounds=2, initial_labels=base, stop_when_stable=False
+    )
+    full, _ = label_propagation(df, max_rounds=5, stop_when_stable=False)
+    assert {(r.v_id, r.label) for r in warm.collect()} == {
+        (r.v_id, r.label) for r in full.collect()
+    }
+
+
+def test_lpa_warm_start_at_fixpoint_converges_in_one_round(spark):
+    """Warm-starting from converged labels is idempotent: the next
+    deterministic-tie round changes nothing and stop_when_stable exits
+    after exactly one round."""
+    # two 4-cliques joined by one bridge edge — converges quickly
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(a + 1, 4)]
+    pairs = c1 + c2 + [(0, 10)]
+    df = edges_df(spark, pairs)
+    conv, info = label_propagation(df, max_rounds=20)
+    assert info.converged
+    warm, winfo = label_propagation(df, max_rounds=20, initial_labels=conv)
+    assert winfo.converged and winfo.rounds == 1
+    assert {(r.v_id, r.label) for r in warm.collect()} == {
+        (r.v_id, r.label) for r in conv.collect()
+    }

@@ -73,6 +73,20 @@ JVM_CONF = {
 }
 
 
+def _drop_table_hard(spark, name: str) -> None:
+    """DROP the table AND remove any stale warehouse directory — a
+    killed JVM leaves the dir behind while a fresh JVM's metastore
+    has no row for it, so a bare saveAsTable then fails on
+    'path already exists'."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = Path(wh.removeprefix("file:")) / name.lower()
+    if path.exists():
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _session(name: str, cores: int):
     import tempfile
 
@@ -152,7 +166,7 @@ def run_one(cores: int, use_csr: bool = False) -> None:
         write_bucketed_transcripts,
     )
 
-    spark.sql(f"DROP TABLE IF EXISTS scaling_tr_bkt_{cores}")
+    _drop_table_hard(spark, f"scaling_tr_bkt_{cores}")
     write_bucketed_transcripts(
         tr, f"scaling_tr_bkt_{cores}", buckets=2 * cores
     )
@@ -163,7 +177,7 @@ def run_one(cores: int, use_csr: bool = False) -> None:
         extract_edges(bkt, pre_partitioned=True).count()
         bex_secs.append(round(time.time() - t1, 2))
     bex_sec = min(bex_secs)
-    spark.sql(f"DROP TABLE IF EXISTS scaling_tr_bkt_{cores}")
+    _drop_table_hard(spark, f"scaling_tr_bkt_{cores}")
 
     print(
         json.dumps(
@@ -375,7 +389,7 @@ def extract_one(cores: int) -> None:
     # bucketed-input variant: the repartition Exchange paid once at
     # (untimed) write time, extraction = scan → in-partition sort →
     # kernel with no shuffle
-    spark.sql(f"DROP TABLE IF EXISTS extr_tr_bkt_{cores}")
+    _drop_table_hard(spark, f"extr_tr_bkt_{cores}")
     write_bucketed_transcripts(tr, f"extr_tr_bkt_{cores}", buckets=2 * cores)
     bkt = read_bucketed_transcripts(spark, f"extr_tr_bkt_{cores}")
     bbest = None
@@ -384,7 +398,7 @@ def extract_one(cores: int) -> None:
         extract_edges(bkt, pre_partitioned=True).count()
         sec = time.time() - t0
         bbest = sec if bbest is None else min(bbest, sec)
-    spark.sql(f"DROP TABLE IF EXISTS extr_tr_bkt_{cores}")
+    _drop_table_hard(spark, f"extr_tr_bkt_{cores}")
     print(
         json.dumps(
             {"cores": cores, "edges": n, "best_sec": round(best, 2),
@@ -451,7 +465,7 @@ def extract_campaign() -> None:
     )
     md = f"""
 
-## Edge-extraction scaling (compact-kernel, CPU-pinned)
+## Edge-extraction scaling, local[{BASE_CORES}] vs local[{hi_cores}] (compact-kernel, CPU-pinned)
 
 Same protocol as the PageRank campaign ({PAIRS} interleaved pairs,
 fresh JVM per run, best-of-3 passes per run) with one fix: each run is
