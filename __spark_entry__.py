@@ -539,6 +539,18 @@ def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Luby MIS vs the unrolled md5-priority oracle."""
+    from cminer_spark.operators import maximal_independent_set
+
+    st, _ = maximal_independent_set(
+        gate.gate_edges_df(spark, sf_dir),
+        max_rounds=gate.MIS_ROUNDS,
+        stop_when_done=False,
+    )
+    return st
+
+
 def _q_lpa_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start contract: resume from the round-k labels for 2 more
     rounds; must equal a contiguous (k+2)-round run (the oracle)."""
@@ -932,6 +944,7 @@ _DRIVER_WINDOW: list[str] = [
     "tfidf_top_terms",
     "repetition_stats",
     "deterministic_split",
+    "seq_pack",
     "quota_sample",
     "decontaminate",
     "redact_pii",
@@ -948,6 +961,7 @@ _DRIVER_WINDOW: list[str] = [
     "link_pred_scores",
     "conductance_lpa",
     "lpa_warm_resume",
+    "mis_luby",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1025,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_scores": _q_linkpred,
         "lpa_k3": _q_lpa,
         "lpa_warm_resume": _q_lpa_warm,
+        "mis_luby": _q_mis,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
@@ -1086,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pred_scores": gate.link_pred_oracle_sql(),
         "lpa_k3": gate.lpa_oracle_sql(),
         "lpa_warm_resume": gate.lpa_warm_oracle_sql(),
+        "mis_luby": gate.mis_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
         # incremental splice must equal the full recount — same oracle

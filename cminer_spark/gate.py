@@ -489,6 +489,48 @@ def lpa_oracle_sql(k: int = LPA_ROUNDS) -> str:
 
 
 LPA_WARM_EXTRA = 2
+MIS_ROUNDS = 4
+
+
+def mis_oracle_sql(k: int = MIS_ROUNDS) -> str:
+    """Unrolled Luby MIS: per round, an undecided vertex wins iff its
+    md5 priority beats every undecided neighbor's (strict ``<`` on the
+    hex string — engine-identical in Spark and DuckDB); undecided
+    neighbors of winners leave. Matches
+    :func:`cminer_spark.operators.mis.maximal_independent_set` with
+    ``stop_when_done=False`` exactly, round by round."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+st0 AS (SELECT v AS v_id, md5(CAST(v AS VARCHAR)) AS p,
+               'undecided' AS status
+        FROM verts)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+mn{i} AS (SELECT s.v AS v_id, min(x.p) AS mp
+          FROM sym s
+          JOIN st{i-1} x ON s.u = x.v_id AND x.status = 'undecided'
+          JOIN st{i-1} y ON s.v = y.v_id AND y.status = 'undecided'
+          GROUP BY s.v),
+win{i} AS (SELECT t.v_id FROM st{i-1} t
+           LEFT JOIN mn{i} m ON t.v_id = m.v_id
+           WHERE t.status = 'undecided'
+             AND (m.mp IS NULL OR t.p < m.mp)),
+out{i} AS (SELECT DISTINCT s.v AS v_id
+           FROM sym s JOIN win{i} w ON s.u = w.v_id),
+st{i} AS (SELECT t.v_id, t.p,
+                 CASE WHEN w.v_id IS NOT NULL THEN 'in'
+                      WHEN t.status = 'undecided'
+                           AND o.v_id IS NOT NULL THEN 'out'
+                      ELSE t.status END AS status
+          FROM st{i-1} t
+          LEFT JOIN win{i} w ON t.v_id = w.v_id
+          LEFT JOIN out{i} o ON t.v_id = o.v_id)"""
+        )
+    parts.append(f"\nSELECT v_id, status FROM st{k}")
+    return _materialize("".join(parts))
 
 
 def lpa_warm_oracle_sql(

@@ -53,6 +53,8 @@ BM25_K = 15
 TFIDF_K = 3
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SEED = 7
+PACK_MAX_TOKENS = 120
+PACK_GROUPS = 7
 QUOTA_N = 20
 DECONTAM_NGRAM = 8
 
@@ -315,6 +317,26 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(
         _docs(spark, sf_dir), "source", n=QUOTA_N, seed=SPLIT_SEED
     ).select("doc_id", "source")
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing on the documents table — every
+    column is an exact integer, so the oracle match is bit-exact."""
+    from cminer_spark.pipeline.packing import pack_sequences
+
+    out = pack_sequences(
+        _docs(spark, sf_dir),
+        max_tokens=PACK_MAX_TOKENS,
+        groups=PACK_GROUPS,
+        seed=SPLIT_SEED,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_group").cast("long").alias("pack_group"),
+        F.col("bin_idx").cast("long").alias("bin_idx"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,6 +980,37 @@ _SPLIT_HASH_SQL = (
 )
 
 
+def seq_pack_oracle_sql(
+    max_tokens=PACK_MAX_TOKENS, groups=PACK_GROUPS, seed=SPLIT_SEED
+) -> str:
+    """Mirror of pipeline.packing.pack_sequences: same md5 group/order
+    key (split_hash convention), same start-bin window arithmetic."""
+    h = _SPLIT_HASH_SQL.format(seed=seed)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || ':{seed}') AS full_h,
+         {h} AS h
+  FROM documents
+), g AS (
+  SELECT doc_id, n_tokens, full_h,
+         CAST(floor(h * {groups}) AS BIGINT) AS pack_group
+  FROM base
+), c AS (
+  SELECT doc_id, n_tokens, pack_group,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY pack_group ORDER BY full_h ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {max_tokens}) AS BIGINT) AS bin_idx
+  FROM g
+)
+SELECT doc_id, n_tokens, pack_group, bin_idx,
+       pack_group + {groups} * bin_idx AS bin_id
+FROM c
+"""
+
+
 def split_oracle_sql(weights=SPLIT_WEIGHTS, seed=SPLIT_SEED) -> str:
     h = _SPLIT_HASH_SQL.format(seed=seed)
     names = list(weights)
@@ -1183,6 +1236,7 @@ def queries():
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
         "deterministic_split": q_deterministic_split,
+        "seq_pack": q_seq_pack,
         "quota_sample": q_quota_sample,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
@@ -1217,6 +1271,7 @@ def oracles():
         "tfidf_top_terms": tfidf_oracle_sql(),
         "repetition_stats": REPETITION_STATS_SQL,
         "deterministic_split": split_oracle_sql(),
+        "seq_pack": seq_pack_oracle_sql(),
         "quota_sample": quota_oracle_sql(),
         "decontaminate": decontam_oracle_sql(),
         "redact_pii": redact_oracle_sql(),

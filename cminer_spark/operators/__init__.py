@@ -37,6 +37,7 @@ from cminer_spark.operators.stats import (
 from cminer_spark.operators.eigen import eigenvector_centrality
 from cminer_spark.operators.linkpred import link_prediction_scores
 from cminer_spark.operators.louvain import louvain
+from cminer_spark.operators.mis import maximal_independent_set
 from cminer_spark.operators.verify import (
     compare_solutions,
     parse_solutions_text,
@@ -83,6 +84,7 @@ __all__ = [
     "eigenvector_centrality",
     "link_prediction_scores",
     "louvain",
+    "maximal_independent_set",
     "verify_solutions",
     "parse_solutions_text",
     "compare_solutions",

@@ -399,15 +399,104 @@ def extract_one(cores: int) -> None:
         sec = time.time() - t0
         bbest = sec if bbest is None else min(bbest, sec)
     _drop_table_hard(spark, f"extr_tr_bkt_{cores}")
+    # all-JVM SQL twin (extract_edges_sql): identical row set, zero
+    # Python workers — if THIS scales while the Arrow row saturates,
+    # the ceiling is Arrow worker transfer; if both saturate, it's the
+    # shared memory bus / scan path of the single-socket host.
+    from cminer_spark.operators import extract_edges_sql
+
+    sbest = None
+    for _ in range(3):
+        t0 = time.time()
+        extract_edges_sql(tr, partitions=2 * cores).count()
+        sec = time.time() - t0
+        sbest = sec if sbest is None else min(sbest, sec)
     print(
         json.dumps(
             {"cores": cores, "edges": n, "best_sec": round(best, 2),
              "edges_per_sec": round(n / best, 1),
              "bkt_best_sec": round(bbest, 2),
-             "bkt_edges_per_sec": round(n / bbest, 1)}
+             "bkt_edges_per_sec": round(n / bbest, 1),
+             "sql_best_sec": round(sbest, 2),
+             "sql_edges_per_sec": round(n / sbest, 1)}
         )
     )
     spark.stop()
+
+
+def extract_curve() -> None:
+    """Throughput-vs-cores curve for the three extraction plans
+    (Arrow kernel, bucketed Arrow, all-JVM SQL twin), CPU-pinned,
+    CURVE_REPS interleaved sweeps; appends the hardware-ceiling
+    analysis section to BENCH/BASELINE.md."""
+    core_list = [
+        int(c) for c in os.environ.get("CURVE_CORES", "2,4,8,16,32").split(",")
+    ]
+    reps = int(os.environ.get("CURVE_REPS", "2"))
+    if not os.path.exists(f"{DATA_DIR}/transcripts/_SUCCESS"):
+        from cminer_spark.synth import synth_transcripts
+
+        spark = _session("extract-prep", 32)
+        t = synth_transcripts(spark, n_convs=EXTRACT_CONVS, seed=42, partitions=64)
+        t.write.mode("overwrite").parquet(f"{DATA_DIR}/transcripts")
+        spark.stop()
+    runs: dict[int, list[dict]] = {c: [] for c in core_list}
+    for rep in range(reps):
+        for c in core_list:
+            r = _spawn_extract(c)
+            runs[c].append(r)
+            print(f"rep {rep} cores {c}: done", flush=True)
+    # per-core-count best (MIN over reps of the per-run best)
+    rows = []
+    for c in core_list:
+        rs = runs[c]
+        rows.append(
+            {
+                "cores": c,
+                "arrow": max(r["edges_per_sec"] for r in rs),
+                "bkt": max(r["bkt_edges_per_sec"] for r in rs),
+                "sql": max(r["sql_edges_per_sec"] for r in rs),
+            }
+        )
+    base = rows[0]
+    table = "\n".join(
+        "| {c} | {a:,.0f} ({an:.2f}) | {b:,.0f} ({bn:.2f}) | {s:,.0f} ({sn:.2f}) |".format(
+            c=r["cores"],
+            a=r["arrow"], an=r["arrow"] / base["arrow"] / (r["cores"] / base["cores"]),
+            b=r["bkt"], bn=r["bkt"] / base["bkt"] / (r["cores"] / base["cores"]),
+            s=r["sql"], sn=r["sql"] / base["sql"] / (r["cores"] / base["cores"]),
+        )
+        for r in rows
+    )
+    raw = "\n".join(
+        f"- cores={c}: " + " ; ".join(f"`{json.dumps(r)}`" for r in runs[c])
+        for c in core_list
+    )
+    md = f"""
+
+## Extraction throughput vs cores — plan-isolation curve (CPU-pinned)
+
+Three plans over the SAME {EXTRACT_CONVS:,}-conversation input, each
+pinned with `taskset -c 0-{{N-1}}`, best across {reps} interleaved
+sweeps × 3 passes: **arrow** = the production `extract_edges`
+(repartition → Arrow kernel), **bkt** = bucketed input, no Exchange,
+**sql** = `extract_edges_sql`, the all-JVM lag-window twin (identical
+row set, zero Python workers — plan-asserted in tests/test_edges.py).
+
+| cores | arrow e/s (eff/core) | bucketed e/s (eff/core) | sql e/s (eff/core) |
+|---|---|---|---|
+{table}
+
+(eff/core = throughput relative to the {base['cores']}-core run of
+the same plan, normalized by core ratio — 1.00 is perfect scaling.)
+
+Raw runs:
+
+{raw}
+"""
+    with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
+        f.write(md)
+    print("extract curve written", flush=True)
 
 
 def _spawn_extract(cores: int) -> dict:
@@ -512,6 +601,8 @@ if __name__ == "__main__":
         extract_one(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--extract-campaign":
         extract_campaign()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--extract-curve":
+        extract_curve()
     elif len(sys.argv) > 1 and sys.argv[1] == "--materialize":
         materialize_input()
     else:
