@@ -89,6 +89,17 @@ def _q_edge_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(t).select("src_key", "dst_key", "type")
 
 
+def _q_edge_extract_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-JVM lag-window extraction twin (extract_edges_sql) vs the
+    same lag-SQL oracle as edge_extract — proves the two production
+    paths and the oracle are pairwise identical."""
+    _ship_package(spark)
+    from cminer_spark.operators import extract_edges_sql
+
+    t = gate.transcripts_df(spark, sf_dir)
+    return extract_edges_sql(t).select("src_key", "dst_key", "type")
+
+
 def _q_wl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-WL graph fingerprints over the per-conversation transactional
     DB — md5-over-sorted-colors is engine-identical, so the unrolled
@@ -962,6 +973,7 @@ _DRIVER_WINDOW: list[str] = [
     "conductance_lpa",
     "lpa_warm_resume",
     "mis_luby",
+    "edge_extract_sql",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1005,6 +1017,7 @@ def _reorder(q: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _reorder({
         "edge_extract": _q_edge_extract,
+        "edge_extract_sql": _q_edge_extract_sql,
         "edge_extract_delta": _q_edge_extract_delta,
         "validate_transcripts": _q_validate_transcripts,
         "rank_churn_top50": _q_rank_churn,
@@ -1066,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return _reorder({
         "edge_extract": gate.edge_extract_oracle_sql(),
+        "edge_extract_sql": gate.edge_extract_oracle_sql(),
         # delta splice must equal a FULL extraction — same oracle
         "edge_extract_delta": gate.edge_extract_oracle_sql(),
         "validate_transcripts": gate.validate_oracle_sql(),

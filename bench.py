@@ -116,6 +116,18 @@ def main() -> None:
         "anf_sketch_events",
         lambda: anf_sketch(edges, max_h=6, k=16, seed=42).count(),
     )
+
+    # Luby MIS to convergence (r4): the symmetry-breaking superstep —
+    # geometric frontier decay, so rounds ≈ O(log n)
+    from cminer_spark.operators import maximal_independent_set
+
+    def run_mis():
+        st, minfo = maximal_independent_set(edges, max_rounds=30)
+        st.count()
+        return minfo
+
+    minfo = timed("mis_events", run_mis, passes=2)
+    extras["mis_events_rounds"] = minfo.rounds
     edges.unpersist()
 
     # -- synthetic transcripts graph (scaling-run input) ----------------
@@ -149,6 +161,20 @@ def main() -> None:
     extras["synth_edges"] = n_synth_edges
     extras["edge_extract_synth_edges_per_sec"] = round(
         n_synth_edges / queries["edge_extract_synth"], 1
+    )
+
+    # all-JVM SQL twin on the identical input (r4): quantifies the
+    # Python-worker Arrow transfer cost per round (plan-isolation
+    # analysis, BENCH/BASELINE.md)
+    from cminer_spark.operators import extract_edges_sql
+
+    timed(
+        "edge_extract_sql_synth",
+        lambda: extract_edges_sql(t).count(),
+        passes=3,
+    )
+    extras["edge_extract_sql_edges_per_sec"] = round(
+        n_synth_edges / queries["edge_extract_sql_synth"], 1
     )
 
     def run_pagerank_synth():
