@@ -281,6 +281,19 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators import salsa
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    scores, info = salsa(edges, tol=0.0, max_iter=gate.HITS_ITERS)
+    n = float(info.n_vertices)
+    return scores.select(
+        "v_id",
+        F.round(F.col("hub") * F.lit(n), 6).alias("hub_x_n"),
+        F.round(F.col("auth") * F.lit(n), 6).alias("auth_x_n"),
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.operators.kcore import core_numbers
 
@@ -974,6 +987,7 @@ _DRIVER_WINDOW: list[str] = [
     "lpa_warm_resume",
     "mis_luby",
     "edge_extract_sql",
+    "salsa_k4",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1029,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_k5": _q_katz,
         "ppr_k5": _q_ppr,
         "hits_k4": _q_hits,
+        "salsa_k4": _q_salsa,
         "core_numbers": _q_kcore,
         "clustering_local": _q_clustering_local,
         "clustering_global": _q_clustering_global,
@@ -1092,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_k5": gate.katz_oracle_sql(),
         "ppr_k5": gate.ppr_oracle_sql(),
         "hits_k4": gate.hits_oracle_sql(),
+        "salsa_k4": gate.salsa_oracle_sql(),
         "core_numbers": gate.kcore_oracle_sql(),
         "clustering_local": gate.clustering_local_oracle_sql(),
         "clustering_global": gate.clustering_global_oracle_sql(),

@@ -272,6 +272,48 @@ FROM h{k} h JOIN a{k} a ON h.v = a.v CROSS JOIN nv"""
     return _materialize("".join(parts))
 
 
+def salsa_oracle_sql(k: int = HITS_ITERS) -> str:
+    """SALSA: the HITS iteration with degree-normalized half-step
+    weights (auth gathers ``w/outdeg_w``, hub gathers ``w/indeg_w``),
+    L1-normalized each half-step — matching
+    :func:`cminer_spark.operators.hits.salsa` with ``tol=0``."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+adjw AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM edges GROUP BY src, dst),
+outw AS (SELECT src, sum(w) AS ow FROM adjw GROUP BY src),
+inw  AS (SELECT dst, sum(w) AS iw FROM adjw GROUP BY dst),
+fwd AS (SELECT a.src, a.dst, a.w / o.ow AS w
+        FROM adjw a JOIN outw o ON a.src = o.src),
+bwd AS (SELECT a.src, a.dst, a.w / i.iw AS w
+        FROM adjw a JOIN inw i ON a.dst = i.dst),
+nv   AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+h0 AS (SELECT v.v, 1.0 / nv.n AS h FROM verts v CROSS JOIN nv)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+ar{i} AS (SELECT a.dst AS v, sum(a.w * h.h) AS x
+          FROM fwd a JOIN h{i-1} h ON a.src = h.v GROUP BY a.dst),
+asum{i} AS (SELECT sum(x) AS s FROM ar{i}),
+a{i} AS (SELECT v.v, coalesce(ar.x, 0.0) / s.s AS a
+         FROM verts v CROSS JOIN asum{i} s LEFT JOIN ar{i} ar ON v.v = ar.v),
+hr{i} AS (SELECT e.src AS v, sum(e.w * aa.a) AS x
+          FROM bwd e JOIN a{i} aa ON e.dst = aa.v GROUP BY e.src),
+hsum{i} AS (SELECT sum(x) AS s FROM hr{i}),
+h{i} AS (SELECT v.v, coalesce(hr.x, 0.0) / s.s AS h
+         FROM verts v CROSS JOIN hsum{i} s LEFT JOIN hr{i} hr ON v.v = hr.v)"""
+        )
+    parts.append(
+        f"""
+SELECT h.v AS v_id,
+       round(h.h * nv.n, 6) AS hub_x_n,
+       round(a.a * nv.n, 6) AS auth_x_n
+FROM h{k} h JOIN a{k} a ON h.v = a.v CROSS JOIN nv"""
+    )
+    return _materialize("".join(parts))
+
+
 def kcore_oracle_sql(k: int = KCORE_ROUNDS) -> str:
     """k rounds of the distributed h-index coreness iteration
     (Montresor et al.) — matches

@@ -13,7 +13,7 @@ from cminer_spark.operators.graph import (
     hub_vertices,
 )
 from cminer_spark.operators.pagerank import pagerank
-from cminer_spark.operators.hits import hits
+from cminer_spark.operators.hits import hits, salsa
 from cminer_spark.operators.katz import katz
 from cminer_spark.operators.components import (
     connected_components,
@@ -65,6 +65,7 @@ __all__ = [
     "pagerank",
     "katz",
     "hits",
+    "salsa",
     "connected_components",
     "hashmin_components",
     "incremental_components",

@@ -90,6 +90,7 @@ def hits(
     checkpoint: SuperstepCheckpoint | None = None,
     salt_partitions: int | None = None,
     weight_col: str = "weight",
+    _salsa: bool = False,
 ) -> tuple[DataFrame, HITSInfo]:
     """Run HITS on ``edges(src, dst[, weight])``.
 
@@ -98,6 +99,13 @@ def hits(
     0/1 = off; k>1 = two-stage salted aggregation on both half-steps.
     ``tol <= 0`` runs exactly ``max_iter`` supersteps with no
     convergence aggregate. Returns ``(scores(v_id, hub, auth), info)``.
+
+    ``_salsa`` (private — use :func:`salsa`): degree-normalize each
+    half-step's edge weights (auth gathers ``w/outdeg_w(src)``, hub
+    gathers ``w/indeg_w(dst)``), turning the power iteration into
+    Lempel-Moran SALSA's stochastic backward-forward walk. The plan
+    shape is unchanged — the normalizations are two extra setup
+    aggregates folded into the persisted adjacency copies.
     """
     spark = edges.sparkSession
     info = HITSInfo()
@@ -112,8 +120,20 @@ def hits(
     # Two persisted copies of the adjacency, each pre-partitioned on
     # the key its half-step joins on — the graph is never re-shuffled
     # inside the loop (2·|E| storage, |V|-sized per-superstep traffic).
-    adj_src = pairs.repartition(iter_parts, "src").persist()
-    adj_dst = pairs.repartition(iter_parts, "dst").persist()
+    if _salsa:
+        outw = pairs.groupBy("src").agg(F.sum("w").alias("ow"))
+        inw = pairs.groupBy("dst").agg(F.sum("w").alias("iw"))
+        fwd = pairs.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("ow")).alias("w")
+        )
+        bwd = pairs.join(inw, "dst").select(
+            "src", "dst", (F.col("w") / F.col("iw")).alias("w")
+        )
+        adj_src = fwd.repartition(iter_parts, "src").persist()
+        adj_dst = bwd.repartition(iter_parts, "dst").persist()
+    else:
+        adj_src = pairs.repartition(iter_parts, "src").persist()
+        adj_dst = pairs.repartition(iter_parts, "dst").persist()
 
     verts = (
         pairs.select(F.col("src").alias("v_id"))
@@ -261,3 +281,40 @@ def hits(
         result = truncate_lineage(result)
         store.close()
     return result, info
+
+
+def salsa(
+    edges: DataFrame,
+    max_iter: int = 50,
+    tol: float = 1.0e-6,
+    vertices: DataFrame | None = None,
+    checkpoint: SuperstepCheckpoint | None = None,
+    salt_partitions: int | None = None,
+    weight_col: str = "weight",
+) -> tuple[DataFrame, HITSInfo]:
+    """SALSA (Lempel & Moran 2000): HITS with stochastic half-steps —
+    the authority walk moves backward along an edge picked uniformly
+    (weighted) from the hub's OUT-links, then forward from a vertex's
+    IN-links, so scores are degree-normalized and hub spam can't
+    concentrate mass the way raw HITS mutual reinforcement does. On
+    transcript link graphs this ranks tools by *breadth* of invoking
+    conversations rather than by the total invocation count a few
+    mega-conversations can supply.
+
+    Same iteration/normalization/convergence contract, plan shape,
+    salting, and checkpoint semantics as :func:`hits` (the two
+    degree normalizations fold into the persisted adjacency copies at
+    setup). Returns ``(scores(v_id, hub, auth), info)``.
+
+    Gate: ``salsa_k4`` vs the unrolled degree-normalized oracle.
+    """
+    return hits(
+        edges,
+        max_iter=max_iter,
+        tol=tol,
+        vertices=vertices,
+        checkpoint=checkpoint,
+        salt_partitions=salt_partitions,
+        weight_col=weight_col,
+        _salsa=True,
+    )
