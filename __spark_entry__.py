@@ -294,6 +294,17 @@ def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rewire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-preserving configuration-model rewire — row-multiset
+    equality vs the DuckDB mirror of the same md5 zip."""
+    from cminer_spark.operators import configuration_rewire
+
+    return configuration_rewire(
+        gate.gate_edges_df(spark, sf_dir), seed=0,
+        n_buckets=gate.REWIRE_BUCKETS,
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.operators.kcore import core_numbers
 
@@ -988,6 +999,7 @@ _DRIVER_WINDOW: list[str] = [
     "mis_luby",
     "edge_extract_sql",
     "salsa_k4",
+    "configuration_rewire",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1044,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_k5": _q_ppr,
         "hits_k4": _q_hits,
         "salsa_k4": _q_salsa,
+        "configuration_rewire": _q_rewire,
         "core_numbers": _q_kcore,
         "clustering_local": _q_clustering_local,
         "clustering_global": _q_clustering_global,
@@ -1108,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_k5": gate.ppr_oracle_sql(),
         "hits_k4": gate.hits_oracle_sql(),
         "salsa_k4": gate.salsa_oracle_sql(),
+        "configuration_rewire": gate.rewire_oracle_sql(),
         "core_numbers": gate.kcore_oracle_sql(),
         "clustering_local": gate.clustering_local_oracle_sql(),
         "clustering_global": gate.clustering_global_oracle_sql(),

@@ -272,6 +272,39 @@ FROM h{k} h JOIN a{k} a ON h.v = a.v CROSS JOIN nv"""
     return _materialize("".join(parts))
 
 
+REWIRE_BUCKETS = 4
+
+
+def rewire_oracle_sql(seed: int = 0, b: int = REWIRE_BUCKETS) -> str:
+    """Configuration-model rewire mirror: identical md5 bucket/order
+    keys, identical per-bucket windows, positional zip — matching
+    :func:`cminer_spark.operators.nullmodel.configuration_rewire`
+    row-multiset exactly."""
+    bkt = (
+        "CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
+        f"CAST(dst AS VARCHAR) || ':{seed}'), 1, 8) AS BIGINT) % {b}"
+    )
+    skey = (
+        "md5('s:' || CAST(src AS VARCHAR) || ':' || "
+        f"CAST(dst AS VARCHAR) || ':{seed}')"
+    )
+    dkey = (
+        "md5('d:' || CAST(dst AS VARCHAR) || ':' || "
+        f"CAST(src AS VARCHAR) || ':{seed}')"
+    )
+    return _materialize(
+        f"""WITH {EDGES_CTE},
+tg AS (SELECT src, dst, {bkt} AS _b FROM edges),
+ss AS (SELECT _b, src, row_number() OVER (
+         PARTITION BY _b ORDER BY {skey} ASC, src ASC, dst ASC) AS _pos
+       FROM tg),
+ds AS (SELECT _b, dst, row_number() OVER (
+         PARTITION BY _b ORDER BY {dkey} ASC, dst ASC, src ASC) AS _pos
+       FROM tg)
+SELECT s.src, d.dst FROM ss s JOIN ds d ON s._b = d._b AND s._pos = d._pos"""
+    )
+
+
 def salsa_oracle_sql(k: int = HITS_ITERS) -> str:
     """SALSA: the HITS iteration with degree-normalized half-step
     weights (auth gathers ``w/outdeg_w``, hub gathers ``w/indeg_w``),

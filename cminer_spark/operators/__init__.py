@@ -38,6 +38,7 @@ from cminer_spark.operators.eigen import eigenvector_centrality
 from cminer_spark.operators.linkpred import link_prediction_scores
 from cminer_spark.operators.louvain import louvain
 from cminer_spark.operators.mis import maximal_independent_set
+from cminer_spark.operators.nullmodel import configuration_rewire
 from cminer_spark.operators.verify import (
     compare_solutions,
     parse_solutions_text,
@@ -86,6 +87,7 @@ __all__ = [
     "link_prediction_scores",
     "louvain",
     "maximal_independent_set",
+    "configuration_rewire",
     "verify_solutions",
     "parse_solutions_text",
     "compare_solutions",
