@@ -1213,6 +1213,122 @@ FROM embeddings
 """
 
 
+# multi-line documents for the line-dedup gates, built from the
+# single-line synth docs with PORTABLE expressions only (the same CTE
+# string runs on Spark SQL and DuckDB): literal replace() turns every
+# " the " / " a " into a newline, yielding ~4 lines/doc with a real
+# duplicated-line tail (sf0.01: 2036 occurrences, 99 lines shared by
+# >=2 docs covering 293 occurrences).
+LINE_DOCS_CTE = """
+line_docs AS (
+  SELECT doc_id,
+         replace(replace(text, ' the ', chr(10)), ' a ', chr(10)) AS text
+  FROM documents
+)
+"""
+LINE_DEDUP_MIN_DOCS = 2
+
+
+def _line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        f"WITH {LINE_DOCS_CTE} SELECT doc_id, text FROM line_docs"
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.lines import line_dedup
+
+    return line_dedup(
+        _line_docs(spark, sf_dir), min_dup_docs=LINE_DEDUP_MIN_DOCS
+    )
+
+
+def q_line_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.lines import line_dedup
+
+    return line_dedup(
+        _line_docs(spark, sf_dir),
+        min_dup_docs=LINE_DEDUP_MIN_DOCS,
+        keep_first=True,
+    )
+
+
+_LINE_KEYED_CTE = """
+occ AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM line_docs
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN length(trim(line)) >= 1 THEN md5(trim(line)) END AS key
+  FROM occ
+),
+dup AS (
+  SELECT key FROM keyed WHERE key IS NOT NULL
+  GROUP BY key HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+"""
+
+_LINE_REASSEMBLE_SQL = """
+surv AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM keyed GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(s.text_clean, '') AS text_clean,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(s.n_kept, 0) AS BIGINT) AS n_lines_kept
+FROM tot t LEFT JOIN surv s ON t.doc_id = s.doc_id
+"""
+
+
+def line_dedup_oracle_sql(min_docs: int = LINE_DEDUP_MIN_DOCS) -> str:
+    """Global policy: every occurrence of a line seen in >= min_docs
+    distinct docs is removed (pipeline/lines.py semantics)."""
+    keyed = _LINE_KEYED_CTE.format(min_docs=min_docs)
+    return f"""
+WITH {LINE_DOCS_CTE}, {keyed},
+kept AS (
+  SELECT k.doc_id, k.pos, k.line FROM keyed k
+  LEFT JOIN dup d ON k.key = d.key WHERE d.key IS NULL
+),
+{_LINE_REASSEMBLE_SQL}
+"""
+
+
+def line_dedup_keepfirst_oracle_sql(
+    min_docs: int = LINE_DEDUP_MIN_DOCS,
+) -> str:
+    """Keep-first policy: of a duplicated line's occurrences only the
+    smallest (doc_id, pos) survives; non-duplicated and exempt lines
+    always survive."""
+    keyed = _LINE_KEYED_CTE.format(min_docs=min_docs)
+    return f"""
+WITH {LINE_DOCS_CTE}, {keyed},
+firsts AS (
+  SELECT key, doc_id AS fdoc, pos AS fpos FROM (
+    SELECT key, doc_id, pos,
+           row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+    FROM keyed WHERE key IS NOT NULL
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.line
+  FROM keyed k
+  LEFT JOIN dup d ON k.key = d.key
+  LEFT JOIN firsts f ON k.key = f.key
+  WHERE d.key IS NULL OR (k.doc_id = f.fdoc AND k.pos = f.fpos)
+),
+{_LINE_REASSEMBLE_SQL}
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1241,6 +1357,8 @@ def queries():
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
+        "line_dedup": q_line_dedup,
+        "line_dedup_keepfirst": q_line_dedup_keepfirst,
         "quantize_int8": q_quantize_int8,
         "random_projection": q_random_projection,
     }
@@ -1276,6 +1394,8 @@ def oracles():
         "decontaminate": decontam_oracle_sql(),
         "redact_pii": redact_oracle_sql(),
         "normalize_text": normalize_oracle_sql(),
+        "line_dedup": line_dedup_oracle_sql(),
+        "line_dedup_keepfirst": line_dedup_keepfirst_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,
         "random_projection": projection_oracle_sql(),
     }

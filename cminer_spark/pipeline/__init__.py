@@ -26,6 +26,7 @@ from cminer_spark.pipeline.curation import (
     quota_sample,
     split_hash,
 )
+from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
 from cminer_spark.pipeline.textstats import (
     doc_fingerprint,
@@ -61,6 +62,7 @@ __all__ = [
     "deterministic_split",
     "quota_sample",
     "decontaminate",
+    "line_dedup",
     "normalize_text",
     "PII_PATTERNS",
     "redact_pii",
