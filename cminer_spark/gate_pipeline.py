@@ -1329,6 +1329,82 @@ kept AS (
 """
 
 
+# Gopher-filter gate thresholds, tuned so the synth corpus actually
+# splits on three of the five rules (sf0.01: n_words 10-99 median 56,
+# mean_word_len 3.7-5.3, 0-2 stop hits): every rule's boolean takes
+# both values somewhere in the output.
+GOPHER_GATE_STOPWORDS = ["the", "a", "of", "and", "to"]
+GOPHER_GATE = dict(
+    min_words=25,
+    max_words=80,
+    min_mean_word_len=4.0,
+    max_mean_word_len=5.0,
+    max_symbol_ratio=0.1,
+    min_alpha_word_ratio=0.8,
+    min_stopwords=2,
+    stopwords=GOPHER_GATE_STOPWORDS,
+)
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.textstats import gopher_quality_filters
+
+    return gopher_quality_filters(_docs(spark, sf_dir), **GOPHER_GATE)
+
+
+def gopher_oracle_sql(p: dict = GOPHER_GATE) -> str:
+    stop = ", ".join(f"'{s}'" for s in p["stopwords"])
+    reasons = ",\n           ".join(
+        f"CASE WHEN NOT ok_{name} THEN '{name}' END"
+        for name in (
+            "word_count",
+            "mean_word_len",
+            "symbol_ratio",
+            "alpha_ratio",
+            "stopwords",
+        )
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS t
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t),
+               6) AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               * 1.0 / len(t), 6) AS symbol_ratio,
+         round(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+               * 1.0 / len(t), 6) AS alpha_ratio,
+         CAST(len(list_filter([{stop}], s -> list_contains(t, s)))
+              AS BIGINT) AS n_stopwords
+  FROM toks
+),
+flagged AS (
+  SELECT *,
+         n_words >= {p['min_words']} AND n_words <= {p['max_words']}
+           AS ok_word_count,
+         mean_word_len >= {p['min_mean_word_len']}
+           AND mean_word_len <= {p['max_mean_word_len']}
+           AS ok_mean_word_len,
+         symbol_ratio <= {p['max_symbol_ratio']} AS ok_symbol_ratio,
+         alpha_ratio >= {p['min_alpha_word_ratio']} AS ok_alpha_ratio,
+         n_stopwords >= {p['min_stopwords']} AS ok_stopwords
+  FROM stats
+)
+SELECT *,
+       ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+         AND ok_alpha_ratio AND ok_stopwords AS pass_filter,
+       coalesce(array_to_string(list_filter([
+           {reasons}
+         ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+FROM flagged
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1357,6 +1433,7 @@ def queries():
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
+        "gopher_filters": q_gopher_filters,
         "line_dedup": q_line_dedup,
         "line_dedup_keepfirst": q_line_dedup_keepfirst,
         "quantize_int8": q_quantize_int8,
@@ -1394,6 +1471,7 @@ def oracles():
         "decontaminate": decontam_oracle_sql(),
         "redact_pii": redact_oracle_sql(),
         "normalize_text": normalize_oracle_sql(),
+        "gopher_filters": gopher_oracle_sql(),
         "line_dedup": line_dedup_oracle_sql(),
         "line_dedup_keepfirst": line_dedup_keepfirst_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,

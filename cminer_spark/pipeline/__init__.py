@@ -29,6 +29,7 @@ from cminer_spark.pipeline.curation import (
 from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
 from cminer_spark.pipeline.textstats import (
+    gopher_quality_filters,
     doc_fingerprint,
     language_id,
     quality_stats,
@@ -62,6 +63,7 @@ __all__ = [
     "deterministic_split",
     "quota_sample",
     "decontaminate",
+    "gopher_quality_filters",
     "line_dedup",
     "normalize_text",
     "PII_PATTERNS",

@@ -208,3 +208,121 @@ def doc_fingerprint(
             F.transform(shingles(text_col, n), lambda s: F.md5(s))
         ).alias("rolling_fingerprint"),
     )
+
+
+# Gopher rule-filter defaults (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 — the word-level subset; the
+# line-level rules live in pipeline/lines.py + repetition_stats).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_RULES = (
+    "word_count",
+    "mean_word_len",
+    "symbol_ratio",
+    "alpha_ratio",
+    "stopwords",
+)
+
+
+def gopher_quality_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-style document quality filtering: per-document stats,
+    one boolean per rule, an overall ``pass_filter``, and a
+    ``fail_reasons`` string (comma-joined failed rule names, ``''``
+    when the document passes).
+
+    Rules (paper defaults in the signature):
+
+    * ``word_count``     — ``min_words <= n_words <= max_words``
+    * ``mean_word_len``  — mean characters per word in
+      ``[min_mean_word_len, max_mean_word_len]``
+    * ``symbol_ratio``   — (# of ``#`` + ellipsis ``...``) per word
+      ``<= max_symbol_ratio``
+    * ``alpha_ratio``    — fraction of words containing a letter
+      ``>= min_alpha_word_ratio``
+    * ``stopwords``      — at least ``min_stopwords`` DISTINCT members
+      of the stop list present (Gopher's 8-word list by default)
+
+    Scale: pure per-row codegen expressions — no shuffle, no UDF; runs
+    at scan speed and composes with any downstream filter pushdown.
+    Thresholds are inlined constants, so Catalyst folds each rule to a
+    single comparison. Engine-portable (the gate oracle replicates the
+    identical arithmetic in DuckDB); ratios are rounded to 6 dp before
+    comparison so the rule booleans cannot flip on float noise across
+    engines.
+    """
+    stop = stopwords if stopwords is not None else GOPHER_STOPWORDS
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    n = F.size(toks)  # always >= 1: split('') == ['']
+    mean_wl = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n,
+        6,
+    )
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / n, 6)
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = F.round(n_alpha_words.cast("double") / n, 6)
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    n_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+    )
+
+    stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    rules = {
+        "word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "alpha_ratio": F.col("alpha_ratio") >= min_alpha_word_ratio,
+        "stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    out = stats.select(
+        "*", *[cond.alias(f"ok_{name}") for name, cond in rules.items()]
+    )
+    all_ok = None
+    for name in GOPHER_RULES:
+        c = F.col(f"ok_{name}")
+        all_ok = c if all_ok is None else (all_ok & c)
+    return out.select(
+        "*",
+        all_ok.alias("pass_filter"),
+        F.concat_ws(
+            ",",
+            F.filter(
+                F.array(
+                    *[
+                        F.when(~F.col(f"ok_{name}"), F.lit(name))
+                        for name in GOPHER_RULES
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).alias("fail_reasons"),
+    )
