@@ -1405,6 +1405,91 @@ FROM flagged
 """
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_INIT_IDS = [0, 1, 2, 3]  # centroid index == vec_id by design
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED spherical k-means under the oracle gate: explicit init
+    ids + round_to=6 make the whole Lloyd loop engine-portable (the
+    untrained-centroid path is gated by ann_ivf_topk; clustering
+    quality on planted clusters is pytest-checked)."""
+    from cminer_spark.pipeline.similarity import kmeans
+
+    return kmeans(
+        _embs(spark, sf_dir),
+        k=KMEANS_K,
+        n_iters=KMEANS_ITERS,
+        init_ids=KMEANS_INIT_IDS,
+        round_to=6,
+    )
+
+
+def kmeans_oracle_sql(
+    n_iters: int = KMEANS_ITERS, init_ids: list[int] = KMEANS_INIT_IDS
+) -> str:
+    """Unrolled Lloyd loop: per iteration one argmax-assignment CTE
+    (dot ROUNDED 6, ties to the larger centroid id — the ivf_assign
+    convention) and one mean→normalize→round(6) centroid update with
+    the empty-cluster-keeps-previous rule, then a final assignment
+    with the last centroids."""
+    ids = ", ".join(str(i) for i in init_ids)
+    assign = """
+{name} AS (
+  SELECT vec_id, c, d FROM (
+    SELECT vec_id, c, d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, c DESC) AS rn
+    FROM (SELECT v.vec_id, c.c, round(sum(v.nx * c.val), 6) AS d
+          FROM nexp v JOIN {cent} c ON v.i = c.i
+          GROUP BY v.vec_id, c.c)
+  ) WHERE rn = 1
+)"""
+    parts = [
+        f"""exp AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id
+),
+nexp AS MATERIALIZED (
+  SELECT e.vec_id, e.i, e.x / n.nrm AS nx
+  FROM exp e JOIN norms n USING (vec_id) WHERE n.nrm > 0
+),
+c0 AS (SELECT vec_id AS c, i, nx AS val FROM nexp WHERE vec_id IN ({ids}))"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(assign.format(name=f"a{t}", cent=f"c{t - 1}").strip())
+        parts.append(
+            f"""m{t} AS (
+  SELECT a.c, v.i, avg(v.nx) AS m
+  FROM a{t} a JOIN nexp v USING (vec_id)
+  GROUP BY a.c, v.i
+),
+mn{t} AS (SELECT c, sqrt(sum(m * m)) AS mrm FROM m{t} GROUP BY c),
+c{t} AS (
+  SELECT p.c, p.i,
+         CASE WHEN u.m IS NULL OR n.mrm IS NULL OR n.mrm = 0 THEN p.val
+              ELSE round(u.m / n.mrm, 6) END AS val
+  FROM c{t - 1} p
+  LEFT JOIN m{t} u ON u.c = p.c AND u.i = p.i
+  LEFT JOIN mn{t} n ON n.c = p.c
+)"""
+        )
+    parts.append(assign.format(name="fin", cent=f"c{n_iters}").strip())
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT n.vec_id,
+       CAST(coalesce(f.c, -1) AS BIGINT) AS cluster,
+       coalesce(f.d, 0.0) AS cosine
+FROM norms n LEFT JOIN fin f ON n.vec_id = f.vec_id
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1433,6 +1518,7 @@ def queries():
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
+        "kmeans_assign": q_kmeans,
         "gopher_filters": q_gopher_filters,
         "line_dedup": q_line_dedup,
         "line_dedup_keepfirst": q_line_dedup_keepfirst,
@@ -1471,6 +1557,7 @@ def oracles():
         "decontaminate": decontam_oracle_sql(),
         "redact_pii": redact_oracle_sql(),
         "normalize_text": normalize_oracle_sql(),
+        "kmeans_assign": kmeans_oracle_sql(),
         "gopher_filters": gopher_oracle_sql(),
         "line_dedup": line_dedup_oracle_sql(),
         "line_dedup_keepfirst": line_dedup_keepfirst_oracle_sql(),

@@ -8,6 +8,7 @@ from cminer_spark.pipeline.dedup import (
     verified_duplicate_pairs,
 )
 from cminer_spark.pipeline.similarity import (
+    kmeans,
     brute_force_cosine_topk,
     cosine_near_duplicates,
     embedding_dedup_clusters,
@@ -64,6 +65,7 @@ __all__ = [
     "quota_sample",
     "decontaminate",
     "gopher_quality_filters",
+    "kmeans",
     "line_dedup",
     "normalize_text",
     "PII_PATTERNS",

@@ -202,15 +202,23 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int | None = None,
+    init_ids: list[int] | None = None,
+    round_to: int | None = None,
 ) -> list[list[float]]:
     """Deterministic spherical k-means (Lloyd) centroids.
 
     * init: the ``n_centroids`` vectors with the smallest
       ``xxhash64(id)`` — a deterministic pseudo-random sample, no RNG
-      state, reproducible at any partitioning;
+      state, reproducible at any partitioning; or, with ``init_ids``,
+      the normalized vectors of exactly those ids in list order
+      (engine-portable — xxhash64 is Spark-specific, explicit ids let
+      a DuckDB oracle replicate the whole training loop);
     * assignment: argmax cosine (vectors L2-normalized once);
     * update: per-cluster mean, re-normalized; empty clusters keep
-      their previous centroid.
+      their previous centroid. ``round_to`` rounds updated centroid
+      values to that many decimals — with 6, cross-engine float-sum
+      reassociation (~1e-15) cannot flip a later assignment, which is
+      what makes the trained loop oracle-checkable.
 
     Scale shape: each Lloyd iteration is ONE aggregation job
     (``posexplode`` → ``groupBy(cluster, dim)``); the state crossing
@@ -233,13 +241,24 @@ def ivf_train_centroids(
         )
         .persist()
     )
-    seed_rows = (
-        base.withColumn("h", F.xxhash64("vec_id"))
-        .orderBy("h", "vec_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [[float(x) for x in r["nv"]] for r in seed_rows]
+    if init_ids is not None:
+        ids = [int(i) for i in init_ids]
+        seed_map = {
+            r["vec_id"]: r["nv"]
+            for r in base.where(F.col("vec_id").isin(ids)).collect()
+        }
+        missing = [i for i in ids if i not in seed_map]
+        if missing:
+            raise ValueError(f"init_ids not in embeddings: {missing}")
+        centroids = [[float(x) for x in seed_map[i]] for i in ids]
+    else:
+        seed_rows = (
+            base.withColumn("h", F.xxhash64("vec_id"))
+            .orderBy("h", "vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [[float(x) for x in r["nv"]] for r in seed_rows]
     if not centroids:
         base.unpersist()
         return []
@@ -264,10 +283,82 @@ def ivf_train_centroids(
                 continue
             mean = [x / counts[i] for x in sums[i]]
             nrm = sum(x * x for x in mean) ** 0.5
-            new.append([x / nrm for x in mean] if nrm > 0 else old)
+            cand = [x / nrm for x in mean] if nrm > 0 else old
+            if round_to is not None:
+                cand = [round(x, round_to) for x in cand]
+            new.append(cand)
         centroids = new
     base.unpersist()
     return centroids
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_ids: list[int] | None = None,
+    round_to: int | None = None,
+    sample_mod: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Spherical k-means clustering of an embedding column: train
+    Lloyd centroids (:func:`ivf_train_centroids`) and assign every
+    vector — ``(vec_id, cluster, cosine)`` where ``cosine`` is the
+    similarity to the winning centroid (rounded 6 dp). Zero-norm
+    vectors get ``cluster = -1, cosine = 0.0``.
+
+    The clustering pass of a semantic curation pipeline (SemDeDup /
+    topic balancing / cluster-based mixing): train on a deterministic
+    subsample (``sample_mod``), assign the full table with one
+    broadcast-constant projection — no join, no shuffle, scan speed.
+
+    With ``init_ids`` + ``round_to`` the whole trained loop is
+    engine-portable and oracle-checked (gate ``kmeans_assign``);
+    clustering quality on planted clusters is pytest-checked.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings,
+            n_centroids=k,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_mod=sample_mod,
+            init_ids=init_ids,
+            round_to=round_to,
+        )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", _norm(F.col("v")))
+    # per-centroid cosine structs, dot ROUNDED 6 with ties to the
+    # LARGER centroid id — the exact ivf_assign convention, so the
+    # final assignment uses the same rule the training loop used
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+                    / F.col("vn"),
+                    6,
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(pairs)
+    return base.select(
+        "vec_id",
+        F.when(F.col("vn") > 0, best["c"])
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("cluster"),
+        F.when(F.col("vn") > 0, best["d"])
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
+    )
 
 
 def ivf_topk(
