@@ -187,13 +187,97 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+REACH_SOURCES = [0, 1, 2, 3, 4]
+REACH_HOPS = 2
+
+
+def _handoff_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamped user->user 'handoff' edges: u -> v when v fires the
+    NEXT event of the same event_type after u (ts = v's event time,
+    epoch micros). Deterministic, self-loop-free, and mirrored
+    verbatim by the oracle's lag-window CTE."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            F.lag("user_id").over(w).alias("src"),
+            F.col("user_id").alias("dst"),
+            _unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.operators.temporal import temporal_reachability
+
+    return temporal_reachability(
+        _handoff_edges(spark, sf_dir),
+        sources=REACH_SOURCES,
+        max_hops=REACH_HOPS,
+    )
+
+
 def queries():
     return {
         "sessionize_30m": q_sessionize,
         "asof_view_before_purchase": q_asof_view_before_purchase,
         "funnel_signup_view_purchase": q_funnel,
         "event_cooccurrence": q_cooccurrence,
+        "temporal_reach_k2": q_temporal_reach,
     }
+
+
+def reach_oracle_sql(
+    sources: list[int] = REACH_SOURCES, max_hops: int = REACH_HOPS
+) -> str:
+    """Unrolled earliest-arrival BFS over the handoff-edge CTE: per
+    hop, candidates = frontier x edges with STRICTLY increasing ts,
+    frontier = min arrival per (source, node); output = argmin
+    (arrive_ts, hops) over all hops' candidates."""
+    src = ", ".join(f"({int(s)})" for s in sources)
+    parts = [
+        f"""edges AS MATERIALIZED (
+  SELECT src, dst, ts_us FROM (
+    SELECT lag(user_id) OVER (
+             PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+           ) AS src,
+           user_id AS dst,
+           epoch_us(ts) AS ts_us
+    FROM events
+  ) WHERE src IS NOT NULL AND src <> dst
+),
+f0 AS (SELECT s.source, s.source AS node, CAST(0 AS BIGINT) AS arrive_ts
+       FROM (VALUES {src}) s(source))"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""cand{h} AS (
+  SELECT f.source, e.dst AS node, min(e.ts_us) AS arrive_ts,
+         CAST({h} AS BIGINT) AS hops
+  FROM f{h - 1} f JOIN edges e
+    ON e.src = f.node AND e.ts_us > f.arrive_ts
+  GROUP BY f.source, e.dst
+),
+f{h} AS (SELECT source, node, arrive_ts FROM cand{h})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"  SELECT * FROM cand{h}" for h in range(1, max_hops + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT source, node, arrive_ts, hops FROM (
+  SELECT source, node, arrive_ts, hops,
+         row_number() OVER (PARTITION BY source, node
+                            ORDER BY arrive_ts ASC, hops ASC) AS rn
+  FROM ({union})
+) WHERE rn = 1
+"""
 
 
 def oracles():
@@ -202,4 +286,5 @@ def oracles():
         "asof_view_before_purchase": asof_oracle_sql(),
         "funnel_signup_view_purchase": funnel_oracle_sql(),
         "event_cooccurrence": COOCCURRENCE_SQL,
+        "temporal_reach_k2": reach_oracle_sql(),
     }

@@ -45,7 +45,12 @@ from cminer_spark.operators.verify import (
     verify_solutions,
 )
 from cminer_spark.operators.wl import wl_colors, wl_fingerprints
-from cminer_spark.operators.temporal import asof_join, funnel, sessionize
+from cminer_spark.operators.temporal import (
+    asof_join,
+    funnel,
+    sessionize,
+    temporal_reachability,
+)
 from cminer_spark.operators.anf import (
     anf_sketch,
     effective_diameter,
@@ -94,6 +99,7 @@ __all__ = [
     "wl_colors",
     "wl_fingerprints",
     "sessionize",
+    "temporal_reachability",
     "asof_join",
     "funnel",
     "anf_sketch",

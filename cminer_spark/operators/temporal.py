@@ -35,7 +35,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "asof_join", "funnel"]
+__all__ = ["sessionize", "asof_join", "funnel", "temporal_reachability"]
 
 
 def _unix_micros(col):
@@ -204,3 +204,79 @@ def funnel(
         )
     finally:
         store.close()
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts_us",
+    start_ts: int = 0,
+    strict: bool = True,
+) -> DataFrame:
+    """Time-respecting earliest-arrival reachability: for each source,
+    the earliest time every node can be reached along a path whose
+    edge timestamps increase (``strict``) / never decrease, using at
+    most ``max_hops`` edges, starting no earlier than ``start_ts``.
+
+    Returns ``(source, node, arrive_ts, hops)`` — ``hops`` is the
+    fewest edges achieving that earliest arrival; trivial
+    source-at-start rows are not emitted.
+
+    Algorithm (level-synchronous, the classic distributed
+    earliest-arrival BFS): the hop-``h`` frontier is the per-
+    ``(source, node)`` MIN arrival over hop-``h`` candidates;
+    expanding only the min is lossless because an earlier arrival at
+    a node permits a superset of outgoing edges — so each hop is ONE
+    equi-join on the node key (the timestamp constraint is a post-join
+    filter, never a range join) plus ONE combinable min-aggregate.
+    State is bounded by |sources| x |nodes| regardless of path count.
+    Hub skew on the join key is the same exposure PageRank's
+    superstep has; at |sources| >> 1 scale, salt or batch sources.
+
+    Gate ``temporal_reach_k2`` replicates the identical unrolled
+    semantics in DuckDB (see gate_events.reach_oracle_sql).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("_u"),
+        F.col(dst_col).alias("_v"),
+        F.col(ts_col).cast("long").alias("_t"),
+    )
+    frontier = spark.createDataFrame(
+        [(int(s), int(s), int(start_ts)) for s in sources],
+        "source long, node long, arrive_ts long",
+    )
+    cond = F.col("_t") > F.col("arrive_ts") if strict else (
+        F.col("_t") >= F.col("arrive_ts")
+    )
+    all_cands = None
+    for h in range(1, max_hops + 1):
+        cand = (
+            frontier.hint("broadcast")
+            .join(e, frontier["node"] == e["_u"])
+            .where(cond)
+            .groupBy("source", F.col("_v").alias("node"))
+            .agg(F.min("_t").alias("arrive_ts"))
+        )
+        labeled = cand.select(
+            "source", "node", "arrive_ts", F.lit(h).cast("long").alias("hops")
+        )
+        all_cands = labeled if all_cands is None else all_cands.unionByName(
+            labeled
+        )
+        frontier = cand
+    return (
+        all_cands.groupBy("source", "node")
+        .agg(F.min(F.struct("arrive_ts", "hops")).alias("best"))
+        .select(
+            "source",
+            "node",
+            F.col("best.arrive_ts").alias("arrive_ts"),
+            F.col("best.hops").alias("hops"),
+        )
+    )
