@@ -1004,6 +1004,12 @@ _DRIVER_WINDOW: list[str] = [
     "edge_extract_sql",
     "salsa_k4",
     "configuration_rewire",
+    # r4 second wave — never driver-checked
+    "line_dedup",
+    "line_dedup_keepfirst",
+    "gopher_filters",
+    "kmeans_assign",
+    "temporal_reach_k2",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
