@@ -586,6 +586,19 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st
 
 
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Jones-Plassmann coloring vs the unrolled
+    md5-priority + min-excluded-color oracle."""
+    from cminer_spark.operators import greedy_coloring
+
+    st, _ = greedy_coloring(
+        gate.gate_edges_df(spark, sf_dir),
+        max_rounds=gate.COLOR_ROUNDS,
+        stop_when_done=False,
+    )
+    return st
+
+
 def _q_lpa_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start contract: resume from the round-k labels for 2 more
     rounds; must equal a contiguous (k+2)-round run (the oracle)."""
@@ -1001,6 +1014,7 @@ _DRIVER_WINDOW: list[str] = [
     "conductance_lpa",
     "lpa_warm_resume",
     "mis_luby",
+    "greedy_color",
     "edge_extract_sql",
     "salsa_k4",
     "configuration_rewire",
@@ -1010,6 +1024,7 @@ _DRIVER_WINDOW: list[str] = [
     "gopher_filters",
     "kmeans_assign",
     "temporal_reach_k2",
+    "greedy_color",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1091,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_k3": _q_lpa,
         "lpa_warm_resume": _q_lpa_warm,
         "mis_luby": _q_mis,
+        "greedy_color": _q_coloring,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
@@ -1156,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_k3": gate.lpa_oracle_sql(),
         "lpa_warm_resume": gate.lpa_warm_oracle_sql(),
         "mis_luby": gate.mis_oracle_sql(),
+        "greedy_color": gate.coloring_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
         # incremental splice must equal the full recount — same oracle

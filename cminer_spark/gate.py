@@ -608,6 +608,56 @@ st{i} AS (SELECT t.v_id, t.p,
     return _materialize("".join(parts))
 
 
+COLOR_ROUNDS = 4
+
+
+def coloring_oracle_sql(k: int = COLOR_ROUNDS) -> str:
+    """Unrolled Jones-Plassmann coloring: per round, an uncolored
+    vertex wins iff its md5 priority beats every uncolored neighbor's
+    (the MIS winner rule, strict ``<`` on the hex string) and takes
+    the smallest color its already-colored neighbors don't hold
+    (min over candidates 0..round-1 anti-joined against used colors).
+    Matches :func:`cminer_spark.operators.coloring.greedy_coloring`
+    with ``stop_when_done=False`` exactly, round by round."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+st0 AS (SELECT v AS v_id, md5(CAST(v AS VARCHAR)) AS p,
+               CAST(-1 AS BIGINT) AS color
+        FROM verts)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+mn{i} AS (SELECT s.v AS v_id, min(x.p) AS mp
+          FROM sym s
+          JOIN st{i-1} x ON s.u = x.v_id AND x.color = -1
+          JOIN st{i-1} y ON s.v = y.v_id AND y.color = -1
+          GROUP BY s.v),
+win{i} AS (SELECT t.v_id FROM st{i-1} t
+           LEFT JOIN mn{i} m ON t.v_id = m.v_id
+           WHERE t.color = -1
+             AND (m.mp IS NULL OR t.p < m.mp)),
+used{i} AS (SELECT DISTINCT s.v AS v_id, t.color
+            FROM sym s
+            JOIN win{i} w ON s.v = w.v_id
+            JOIN st{i-1} t ON s.u = t.v_id AND t.color >= 0),
+asg{i} AS (SELECT c.v_id, min(c.c) AS color
+           FROM (SELECT w.v_id, r.c
+                 FROM win{i} w CROSS JOIN range(0, {i}) r(c)) c
+           LEFT JOIN used{i} u
+             ON u.v_id = c.v_id AND u.color = c.c
+           WHERE u.v_id IS NULL
+           GROUP BY c.v_id),
+st{i} AS (SELECT t.v_id, t.p,
+                 CAST(coalesce(a.color, t.color) AS BIGINT) AS color
+          FROM st{i-1} t
+          LEFT JOIN asg{i} a ON t.v_id = a.v_id)"""
+        )
+    parts.append(f"\nSELECT v_id, color FROM st{k}")
+    return _materialize("".join(parts))
+
+
 def lpa_warm_oracle_sql(
     k: int = LPA_ROUNDS, extra: int = LPA_WARM_EXTRA
 ) -> str:

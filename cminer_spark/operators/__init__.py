@@ -37,6 +37,7 @@ from cminer_spark.operators.stats import (
 from cminer_spark.operators.eigen import eigenvector_centrality
 from cminer_spark.operators.linkpred import link_prediction_scores
 from cminer_spark.operators.louvain import louvain
+from cminer_spark.operators.coloring import greedy_coloring
 from cminer_spark.operators.mis import maximal_independent_set
 from cminer_spark.operators.nullmodel import configuration_rewire
 from cminer_spark.operators.verify import (
@@ -91,6 +92,7 @@ __all__ = [
     "eigenvector_centrality",
     "link_prediction_scores",
     "louvain",
+    "greedy_coloring",
     "maximal_independent_set",
     "configuration_rewire",
     "verify_solutions",
