@@ -329,6 +329,30 @@ def _q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dists
 
 
+def _q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (delta Bellman-Ford) from the tool hubs with
+    deterministic integer weights — the weighted twin of
+    bfs_dist_tools, vs the unrolled min-plus oracle."""
+    from cminer_spark.operators.paths import shortest_paths
+
+    edges = gate.gate_edges_df(spark, sf_dir).withColumn(
+        "w", F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1
+    )
+    seeds = (
+        edges.where(F.col("type") == "invokes")
+        .select(F.col("dst").alias("v_id"))
+        .distinct()
+    )
+    dists, _info = shortest_paths(
+        edges,
+        seeds,
+        weight_col="w",
+        directed=False,
+        max_rounds=gate.SSSP_ROUNDS,
+    )
+    return dists
+
+
 def _q_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.operators.clustering import clustering_coefficients
 
@@ -1025,6 +1049,7 @@ _DRIVER_WINDOW: list[str] = [
     "kmeans_assign",
     "temporal_reach_k2",
     "greedy_color",
+    "sssp_weighted",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1086,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_local": _q_clustering_local,
         "clustering_global": _q_clustering_global,
         "bfs_dist_tools": _q_bfs_dist,
+        "sssp_weighted": _q_sssp_weighted,
         "closeness_landmarks": _q_closeness,
         "graph_summary": _q_graph_summary,
         "degree_histogram": _q_degree_histogram,
@@ -1152,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_local": gate.clustering_local_oracle_sql(),
         "clustering_global": gate.clustering_global_oracle_sql(),
         "bfs_dist_tools": gate.bfs_dist_oracle_sql(),
+        "sssp_weighted": gate.sssp_oracle_sql(),
         "closeness_landmarks": gate.closeness_oracle_sql(),
         "graph_summary": gate.graph_summary_oracle_sql(),
         "degree_histogram": gate.degree_histogram_oracle_sql(),

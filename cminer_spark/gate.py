@@ -1241,6 +1241,37 @@ w{i} AS (SELECT walk_id, v_id FROM (
     return _materialize("".join(parts))
 
 
+SSSP_ROUNDS = 4
+
+
+def sssp_oracle_sql(k: int = SSSP_ROUNDS) -> str:
+    """k rounds of WEIGHTED multi-source min-plus relaxation
+    (undirected, deterministic integer weights ``(u + v) % 7 + 1``)
+    from the tool-hub vertices — matches
+    :func:`cminer_spark.operators.paths.shortest_paths` with
+    ``weight_col=, directed=False, max_rounds=k`` (the ≤k-edge-path
+    minimum; engine self-loops and parallel edges cannot change a
+    min-plus state, so the simple-projection oracle is exact)."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        """,
+wsym AS (SELECT u, v, CAST((u + v) % 7 + 1 AS DOUBLE) AS w FROM sym),
+seeds AS (SELECT DISTINCT dst AS v FROM edges WHERE type = 'invokes'),
+d0 AS (SELECT v, CAST(0 AS DOUBLE) AS dist FROM seeds)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+rx{i} AS (SELECT s.v AS v, d.dist + s.w AS dist
+          FROM d{i-1} d JOIN wsym s ON d.v = s.u),
+d{i} AS (SELECT v, min(dist) AS dist
+         FROM (SELECT * FROM d{i-1} UNION ALL SELECT * FROM rx{i}) t
+         GROUP BY v)"""
+        )
+    parts.append(f"\nSELECT v AS v_id, dist FROM d{k}")
+    return _materialize("".join(parts))
+
+
 def diameter_oracle_sql(k: int = BFS_ROUNDS) -> str:
     """Two unrolled k-round BFS sweeps (min-id start → farthest →
     eccentricity) — matches
