@@ -128,6 +128,19 @@ def main() -> None:
 
     minfo = timed("mis_events", run_mis, passes=2)
     extras["mis_events_rounds"] = minfo.rounds
+
+    # Jones-Plassmann coloring to convergence (r4): MIS-shaped rounds
+    # plus the used-color gather
+    from cminer_spark.operators import greedy_coloring
+
+    def run_color():
+        st, cinfo = greedy_coloring(edges, max_rounds=40)
+        ncolors = st.agg(F.countDistinct("color")).collect()[0][0]
+        return cinfo, ncolors
+
+    (cinfo, n_colors) = timed("greedy_color_events", run_color, passes=2)
+    extras["greedy_color_rounds"] = cinfo.rounds
+    extras["greedy_color_n_colors"] = n_colors
     edges.unpersist()
 
     # -- synthetic transcripts graph (scaling-run input) ----------------
@@ -326,6 +339,39 @@ def main() -> None:
         ),
         passes=2,
     )
+
+    # line-level dedup over conversation documents (r4): conversation =
+    # doc, turn = line — removes turns repeated verbatim across >= 2
+    # conversations and reassembles; explode + two hash-aggregates +
+    # one anti-join over ~1.2M lines
+    from cminer_spark.pipeline import line_dedup
+
+    conv_docs = (
+        t.select(
+            F.col("conv_id"),
+            F.struct(F.col("turn_idx"), F.col("text")).alias("s"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.sort_array(F.collect_list("s")),
+                                  lambda x: x["text"])
+            ).alias("text")
+        )
+        .withColumn("doc_id", F.xxhash64("conv_id"))
+        .persist()
+    )
+    conv_docs.count()
+    extras["line_dedup_removed"] = timed(
+        "line_dedup_convs",
+        lambda: int(
+            line_dedup(conv_docs)
+            .agg(F.sum(F.col("n_lines") - F.col("n_lines_kept")).alias("r"))
+            .collect()[0]["r"]
+        ),
+        passes=2,
+    )
+    conv_docs.unpersist()
 
     n_vecs = int(200_000 * sf * 10)
     vecs = spark.range(n_vecs).select(
