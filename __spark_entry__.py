@@ -1050,6 +1050,7 @@ _DRIVER_WINDOW: list[str] = [
     "temporal_reach_k2",
     "greedy_color",
     "sssp_weighted",
+    "unigram_logprob",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",

@@ -1490,6 +1490,27 @@ FROM norms n LEFT JOIN fin f ON n.vec_id = f.vec_id
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM tf)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((c + 1.0) / (n + v))), 6) AS logprob_per_token
+FROM toks JOIN tf USING (t) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1520,6 +1541,7 @@ def queries():
         "normalize_text": q_normalize_text,
         "kmeans_assign": q_kmeans,
         "gopher_filters": q_gopher_filters,
+        "unigram_logprob": q_unigram_logprob,
         "line_dedup": q_line_dedup,
         "line_dedup_keepfirst": q_line_dedup_keepfirst,
         "quantize_int8": q_quantize_int8,
@@ -1559,6 +1581,7 @@ def oracles():
         "normalize_text": normalize_oracle_sql(),
         "kmeans_assign": kmeans_oracle_sql(),
         "gopher_filters": gopher_oracle_sql(),
+        "unigram_logprob": UNIGRAM_SQL,
         "line_dedup": line_dedup_oracle_sql(),
         "line_dedup_keepfirst": line_dedup_keepfirst_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,

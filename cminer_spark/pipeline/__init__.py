@@ -31,6 +31,7 @@ from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
 from cminer_spark.pipeline.textstats import (
     gopher_quality_filters,
+    unigram_logprob,
     doc_fingerprint,
     language_id,
     quality_stats,
@@ -56,6 +57,7 @@ __all__ = [
     "doc_fingerprint",
     "language_id",
     "quality_stats",
+    "unigram_logprob",
     "repetition_stats",
     "token_counts",
     "bm25_search",

@@ -326,3 +326,54 @@ def gopher_quality_filters(
             ),
         ).alias("fail_reasons"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document mean token
+    log-probability under a Laplace-smoothed unigram model trained on
+    ``corpus`` (the scored table itself by default) —
+    ``(doc_id, n_tokens, logprob_per_token)``, higher = more
+    corpus-typical. The cheap stand-in for LM-perplexity filtering
+    (CCNet/ROOTS style): rank documents by model fit and drop the
+    tail; swapping in a real LM changes the score column, not the
+    plan.
+
+    ``P(t) = (count(t) + 1) / (N + V)`` with corpus token total ``N``
+    and vocab size ``V``; out-of-vocabulary tokens (scoring docs the
+    model never saw) get the smoothed floor ``1 / (N + V)``.
+
+    Scale: one combinable term-count aggregate over the exploded
+    corpus, one (term -> count) equi-join back onto the scored
+    tokens (AQE broadcasts when the vocab is small), one per-doc mean.
+    ``N`` / ``V`` are two driver scalars (the convergence-probe
+    convention). The score is rounded to 6 dp, making it
+    engine-portable (gate ``unigram_logprob``).
+    """
+    train = corpus if corpus is not None else docs
+    corpus_toks = train.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("t")
+    )
+    tf = corpus_toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n, v = tf.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(n + v)
+    doc_toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("t"),
+    )
+    scored = doc_toks.join(tf, "t", "left").select(
+        "doc_id",
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(denom)).alias(
+            "lp"
+        ),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("logprob_per_token"),
+    )
