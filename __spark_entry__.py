@@ -623,6 +623,17 @@ def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st
 
 
+def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka MSF on the planted weighted ring-of-cliques whose
+    forest has a closed-form certificate (gate.msf_oracle_sql);
+    general inputs are pytest-checked vs networkx."""
+    from cminer_spark.operators import boruvka_msf
+
+    forest, info = boruvka_msf(gate.msf_planted_edges(spark))
+    assert info.converged
+    return forest
+
+
 def _q_lpa_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start contract: resume from the round-k labels for 2 more
     rounds; must equal a contiguous (k+2)-round run (the oracle)."""
@@ -1051,6 +1062,7 @@ _DRIVER_WINDOW: list[str] = [
     "greedy_color",
     "sssp_weighted",
     "unigram_logprob",
+    "boruvka_msf",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1134,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_warm_resume": _q_lpa_warm,
         "mis_luby": _q_mis,
         "greedy_color": _q_coloring,
+        "boruvka_msf": _q_msf,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
@@ -1201,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_warm_resume": gate.lpa_warm_oracle_sql(),
         "mis_luby": gate.mis_oracle_sql(),
         "greedy_color": gate.coloring_oracle_sql(),
+        "boruvka_msf": gate.msf_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
         # incremental splice must equal the full recount — same oracle

@@ -1025,6 +1025,61 @@ FROM range({n})
 """
 
 
+MSF_CLIQUES = 8
+MSF_CLIQUE_SIZE = 6
+
+
+def msf_planted_edges(spark: SparkSession) -> DataFrame:
+    """Weighted ring-of-cliques for the Borůvka gate: vertex ids dense
+    from 0, intra-clique edge (v, u), v < u, weight v*1000 + u (unique;
+    the clique MST is therefore the star around the min member), one
+    ring bridge per clique with weight 1e6 + c (unique, all heavier
+    than every intra edge; the ring cycle drops exactly its heaviest
+    bridge). MSF closed form = msf_oracle_sql."""
+    size, nc = MSF_CLIQUE_SIZE, MSF_CLIQUES
+    v = spark.range(nc * size).select(F.col("id").alias("v"))
+    intra = (
+        v.crossJoin(v.select(F.col("v").alias("u")))
+        .where(
+            (F.col("v") < F.col("u"))
+            & (F.floor(F.col("v") / size) == F.floor(F.col("u") / size))
+        )
+        .select(
+            F.col("v").alias("src"),
+            F.col("u").alias("dst"),
+            (F.col("v") * 1000 + F.col("u")).cast("double").alias("weight"),
+        )
+    )
+    bridges = spark.range(nc).select(
+        (F.col("id") * size).alias("src"),
+        (((F.col("id") + 1) % nc) * size).alias("dst"),
+        (F.lit(1_000_000) + F.col("id")).cast("double").alias("weight"),
+    )
+    return intra.union(bridges)
+
+
+def msf_oracle_sql() -> str:
+    """Closed-form MSF of the planted weighted ring-of-cliques:
+    per-clique stars around each min member + every ring bridge except
+    the heaviest (cycle property on the unique-weight ring). Bridges
+    are emitted canonically (lo, hi) to match the engine's
+    src < dst convention."""
+    n = MSF_CLIQUES * MSF_CLIQUE_SIZE
+    s = MSF_CLIQUE_SIZE
+    nc = MSF_CLIQUES
+    return f"""
+SELECT CAST((v // {s}) * {s} AS BIGINT) AS src,
+       CAST(v AS BIGINT) AS dst,
+       CAST(((v // {s}) * {s}) * 1000 + v AS DOUBLE) AS weight
+FROM range({n}) r(v) WHERE v % {s} <> 0
+UNION ALL
+SELECT CAST(least(c * {s}, ((c + 1) % {nc}) * {s}) AS BIGINT) AS src,
+       CAST(greatest(c * {s}, ((c + 1) % {nc}) * {s}) AS BIGINT) AS dst,
+       CAST(1000000 + c AS DOUBLE) AS weight
+FROM range({nc - 1}) r(c)
+"""
+
+
 def anf_exact_oracle_sql() -> str:
     """Exact neighborhood function N(h), h = 1..2, on the gate graph:
     ordered pairs (u, v), u != v, within h hops of each other over the

@@ -39,6 +39,7 @@ from cminer_spark.operators.linkpred import link_prediction_scores
 from cminer_spark.operators.louvain import louvain
 from cminer_spark.operators.coloring import greedy_coloring
 from cminer_spark.operators.mis import maximal_independent_set
+from cminer_spark.operators.msf import boruvka_msf
 from cminer_spark.operators.nullmodel import configuration_rewire
 from cminer_spark.operators.verify import (
     compare_solutions,
@@ -93,6 +94,7 @@ __all__ = [
     "link_prediction_scores",
     "louvain",
     "greedy_coloring",
+    "boruvka_msf",
     "maximal_independent_set",
     "configuration_rewire",
     "verify_solutions",
