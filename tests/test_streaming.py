@@ -179,3 +179,65 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
 
     batch = exact_duplicates(spark.read.parquet(src))
     assert {r.text_hash for r in batch.collect()} == set(hashes)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Per-key in-order delivery across micro-batches: the streamed
+    (user, event, session_idx) labeling equals the batch operator's."""
+    from cminer_spark.operators.temporal import sessionize
+    from cminer_spark.streaming import stream_sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events")
+    # split by global ts quartiles: per-user order preserved
+    import time
+
+    qs = (
+        ev.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    )
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.unix_micros(F.col("ts").cast("timestamp")) > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.unix_micros(F.col("ts").cast("timestamp")) <= bounds[i + 1])
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.2)
+
+    schema = ev.schema
+
+    def build(stream):
+        return stream_sessionize(stream, gap_seconds=1800)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in spark.table("sess_stream_out").collect()
+    }
+    batch = sessionize(
+        spark.read.parquet(src),
+        key="user_id",
+        ts="ts",
+        gap_seconds=1800,
+        tie_cols=("event_id",),
+    )
+    want = {
+        (r.user_id, r.event_id): r.session_idx for r in batch.collect()
+    }
+    assert got == want
+    assert max(got.values()) > 0  # multiple sessions actually occur
