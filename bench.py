@@ -346,6 +346,12 @@ def main() -> None:
     # one anti-join over ~1.2M lines
     from cminer_spark.pipeline import line_dedup
 
+    # each conversation gets one of 5 boilerplate header lines (the
+    # cross-doc duplication line_dedup exists to remove — synth turn
+    # texts themselves are hash-unique across conversations)
+    headers = F.array(
+        *[F.lit(f"standard greeting header variant {i}") for i in range(5)]
+    )
     conv_docs = (
         t.select(
             F.col("conv_id"),
@@ -354,8 +360,15 @@ def main() -> None:
         .groupBy("conv_id")
         .agg(
             F.concat_ws(
-                "\n", F.transform(F.sort_array(F.collect_list("s")),
-                                  lambda x: x["text"])
+                "\n",
+                F.element_at(
+                    headers,
+                    F.pmod(F.xxhash64("conv_id"), F.lit(5)).cast("int") + 1,
+                ),
+                F.concat_ws(
+                    "\n", F.transform(F.sort_array(F.collect_list("s")),
+                                      lambda x: x["text"])
+                ),
             ).alias("text")
         )
         .withColumn("doc_id", F.xxhash64("conv_id"))
