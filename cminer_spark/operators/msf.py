@@ -96,9 +96,23 @@ def boruvka_msf(
     forest: DataFrame | None = None
 
     for rnd in range(1, max_rounds + 1):
+        # shuffle_hash on the label side: the state comes off a
+        # lineage-truncation scan with unknown stats, which otherwise
+        # degrades to a SortMergeJoin re-sorting the edge table every
+        # round (the repo-wide superstep convention)
         le = (
-            e.join(lab.select(F.col("v_id").alias("a"), F.col("c").alias("ca")), "a")
-            .join(lab.select(F.col("v_id").alias("b"), F.col("c").alias("cb")), "b")
+            e.join(
+                lab.select(
+                    F.col("v_id").alias("a"), F.col("c").alias("ca")
+                ).hint("shuffle_hash"),
+                "a",
+            )
+            .join(
+                lab.select(
+                    F.col("v_id").alias("b"), F.col("c").alias("cb")
+                ).hint("shuffle_hash"),
+                "b",
+            )
             .where(F.col("ca") != F.col("cb"))
         )
         # cheapest outgoing edge per component, both orientations;
