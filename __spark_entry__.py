@@ -623,6 +623,19 @@ def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st
 
 
+def _q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round (1+eps)-peeling densest subgraph vs the unrolled
+    peel oracle (round densities + argmax set replicated in SQL)."""
+    from cminer_spark.operators import densest_subgraph
+
+    best, _info = densest_subgraph(
+        gate.gate_edges_df(spark, sf_dir),
+        eps=gate.DS_EPS,
+        max_rounds=gate.DS_ROUNDS,
+    )
+    return best
+
+
 def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka MSF on the planted weighted ring-of-cliques whose
     forest has a closed-form certificate (gate.msf_oracle_sql);
@@ -1063,6 +1076,7 @@ _DRIVER_WINDOW: list[str] = [
     "sssp_weighted",
     "unigram_logprob",
     "boruvka_msf",
+    "densest_subgraph",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1147,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_luby": _q_mis,
         "greedy_color": _q_coloring,
         "boruvka_msf": _q_msf,
+        "densest_subgraph": _q_densest,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
@@ -1215,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_luby": gate.mis_oracle_sql(),
         "greedy_color": gate.coloring_oracle_sql(),
         "boruvka_msf": gate.msf_oracle_sql(),
+        "densest_subgraph": gate.densest_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
         # incremental splice must equal the full recount — same oracle

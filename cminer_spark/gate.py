@@ -1025,6 +1025,66 @@ FROM range({n})
 """
 
 
+DS_ROUNDS = 3
+DS_EPS = 0.01
+
+
+def densest_oracle_sql(k: int = DS_ROUNDS, eps: float = DS_EPS) -> str:
+    """Unrolled (1+ε)-peeling: per round, density = |E|/|V| of the
+    surviving undirected simple graph, peel degrees ≤ (2·(1+ε)·|E|)/|V|
+    (the identical double expression the engine inlines), best round =
+    max density with ties to the earliest; output = the vertex set
+    entering the best round. Matches
+    :func:`cminer_spark.operators.densest.densest_subgraph` with
+    ``max_rounds=k`` exactly."""
+    parts = [
+        f"WITH {EDGES_CTE}",
+        ",\ne0 AS (SELECT u AS a, v AS b FROM sym WHERE u < v)",
+    ]
+    for i in range(0, k + 1):
+        parts.append(
+            f""",
+vx{i} AS (SELECT a AS v FROM e{i} UNION SELECT b AS v FROM e{i}),
+st{i} AS (SELECT (SELECT count(*) FROM e{i}) AS ec,
+                 (SELECT count(*) FROM vx{i}) AS vc)"""
+        )
+        if i < k:
+            parts.append(
+                f""",
+peel{i} AS (
+  SELECT v FROM (
+    SELECT v, count(*) AS d
+    FROM (SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}) t
+    GROUP BY v
+  ) dd, st{i} s
+  WHERE dd.d <= (2.0 * (1.0 + {eps}) * s.ec) / s.vc
+),
+e{i + 1} AS (
+  SELECT e.a, e.b FROM e{i} e
+  LEFT JOIN peel{i} pa ON e.a = pa.v
+  LEFT JOIN peel{i} pb ON e.b = pb.v
+  WHERE pa.v IS NULL AND pb.v IS NULL
+)"""
+            )
+    dens_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, CASE WHEN vc > 0 THEN ec * 1.0 / vc END AS density"
+        f" FROM st{i}"
+        for i in range(0, k + 1)
+    )
+    set_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, v FROM vx{i}" for i in range(0, k + 1)
+    )
+    parts.append(
+        f""",
+dens AS ({dens_rows}),
+best AS (SELECT r FROM dens WHERE density IS NOT NULL
+         ORDER BY density DESC, r ASC LIMIT 1),
+sets AS ({set_rows})
+SELECT s.v AS v_id FROM sets s JOIN best b ON s.r = b.r"""
+    )
+    return _materialize("".join(parts))
+
+
 MSF_CLIQUES = 8
 MSF_CLIQUE_SIZE = 6
 

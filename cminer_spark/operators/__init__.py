@@ -38,6 +38,7 @@ from cminer_spark.operators.eigen import eigenvector_centrality
 from cminer_spark.operators.linkpred import link_prediction_scores
 from cminer_spark.operators.louvain import louvain
 from cminer_spark.operators.coloring import greedy_coloring
+from cminer_spark.operators.densest import densest_subgraph
 from cminer_spark.operators.mis import maximal_independent_set
 from cminer_spark.operators.msf import boruvka_msf
 from cminer_spark.operators.nullmodel import configuration_rewire
@@ -93,6 +94,7 @@ __all__ = [
     "eigenvector_centrality",
     "link_prediction_scores",
     "louvain",
+    "densest_subgraph",
     "greedy_coloring",
     "boruvka_msf",
     "maximal_independent_set",
