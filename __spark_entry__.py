@@ -1077,6 +1077,7 @@ _DRIVER_WINDOW: list[str] = [
     "unigram_logprob",
     "boruvka_msf",
     "densest_subgraph",
+    "chunk_documents",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",

@@ -1490,6 +1490,39 @@ FROM norms n LEFT JOIN fin f ON n.vec_id = f.vec_id
 """
 
 
+CHUNK_TOKENS = 12
+CHUNK_STRIDE = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    )
+
+
+def chunking_oracle_sql(
+    chunk: int = CHUNK_TOKENS, step: int = CHUNK_STRIDE
+) -> str:
+    # constant chunk-index bound + filter (portable lateral): synth
+    # docs cap at ~100 tokens, 1000 strides is a safe ceiling
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       array_to_string(ts[ci * {step} + 1 : ci * {step} + {chunk}], ' ')
+         AS chunk_text,
+       CAST(least({chunk}, len(ts) - ci * {step}) AS BIGINT) AS n_tokens
+FROM w, range(0, 1000) r(ci)
+WHERE ci * {step} < len(ts)
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.pipeline.textstats import unigram_logprob
 
@@ -1542,6 +1575,7 @@ def queries():
         "kmeans_assign": q_kmeans,
         "gopher_filters": q_gopher_filters,
         "unigram_logprob": q_unigram_logprob,
+        "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
         "line_dedup_keepfirst": q_line_dedup_keepfirst,
         "quantize_int8": q_quantize_int8,
@@ -1582,6 +1616,7 @@ def oracles():
         "kmeans_assign": kmeans_oracle_sql(),
         "gopher_filters": gopher_oracle_sql(),
         "unigram_logprob": UNIGRAM_SQL,
+        "chunk_documents": chunking_oracle_sql(),
         "line_dedup": line_dedup_oracle_sql(),
         "line_dedup_keepfirst": line_dedup_keepfirst_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,

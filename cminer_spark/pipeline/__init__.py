@@ -27,6 +27,7 @@ from cminer_spark.pipeline.curation import (
     quota_sample,
     split_hash,
 )
+from cminer_spark.pipeline.chunking import chunk_documents
 from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
 from cminer_spark.pipeline.textstats import (
@@ -67,6 +68,7 @@ __all__ = [
     "quota_sample",
     "decontaminate",
     "gopher_quality_filters",
+    "chunk_documents",
     "kmeans",
     "line_dedup",
     "normalize_text",
