@@ -143,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         "--algorithm",
         choices=[
             "pagerank", "components", "lpa", "triangles", "katz", "louvain",
-            "eigenvector",
+            "eigenvector", "mis", "coloring", "msf", "densest",
         ],
         default="pagerank",
     )
@@ -289,6 +289,32 @@ def main(argv: list[str] | None = None) -> int:
             eigenvalue=einfo.eigenvalue_estimates[-1]
             if einfo.eigenvalue_estimates
             else None,
+        )
+    elif args.algorithm == "mis":
+        from cminer_spark.operators import maximal_independent_set
+
+        out, minfo = maximal_independent_set(
+            edges, max_rounds=args.max_iter, checkpoint=ck
+        )
+        meta.update(rounds=minfo.rounds, converged=minfo.converged)
+    elif args.algorithm == "coloring":
+        from cminer_spark.operators import greedy_coloring
+
+        out, cinfo2 = greedy_coloring(edges, max_rounds=args.max_iter)
+        meta.update(rounds=cinfo2.rounds, converged=cinfo2.converged)
+    elif args.algorithm == "msf":
+        from cminer_spark.operators import boruvka_msf
+
+        out, finfo = boruvka_msf(edges)
+        meta.update(rounds=finfo.rounds, converged=finfo.converged)
+    elif args.algorithm == "densest":
+        from cminer_spark.operators import densest_subgraph
+
+        out, dinfo = densest_subgraph(edges, max_rounds=args.max_iter)
+        meta.update(
+            rounds=dinfo.rounds,
+            best_round=dinfo.best_round,
+            best_density=dinfo.best_density,
         )
     elif args.algorithm == "louvain":
         from cminer_spark.operators import louvain

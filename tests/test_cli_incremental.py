@@ -127,3 +127,28 @@ def test_cli_katz_and_louvain(spark, tmp_path, capsys):
     assert ml["n_communities"] > 0 and ml["levels"] >= 1
     ldf = spark.read.parquet(f"{base}/louvain_out")
     assert set(ldf.columns) == {"v_id", "community"} and ldf.count() > 0
+
+
+def test_cli_new_algorithms(spark, tmp_path, capsys):
+    """CLI dispatch for the r4 superstep additions: mis, coloring,
+    msf, densest all run end-to-end on a small edge table."""
+    base = str(tmp_path)
+    t = synth_transcripts(spark, n_convs=30, seed=23)
+    edges = extract_edges(t).select("src", "dst", "weight")
+    edges.write.parquet(f"{base}/edges")
+
+    m = _run(capsys, ["--edges", f"{base}/edges", "--algorithm", "mis",
+                      "--output", f"{base}/mis"])
+    assert m["converged"]
+    c = _run(capsys, ["--edges", f"{base}/edges", "--algorithm", "coloring",
+                      "--output", f"{base}/colors"])
+    assert c["converged"]
+    colors = spark.read.parquet(f"{base}/colors")
+    assert colors.where(F.col("color") < 0).count() == 0
+    f = _run(capsys, ["--edges", f"{base}/edges", "--algorithm", "msf",
+                      "--output", f"{base}/forest"])
+    assert f["converged"]
+    d = _run(capsys, ["--edges", f"{base}/edges", "--algorithm", "densest",
+                      "--output", f"{base}/core"])
+    assert d["best_density"] > 0
+    assert spark.read.parquet(f"{base}/core").count() > 0
