@@ -90,14 +90,7 @@ def densest_subgraph(
             info.best_round = rnd
         thr = (thr_mult * n_e) / n_v
         deg = verts.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-        peel = deg.where(F.col("d") <= thr).select(
-            "v", F.lit(rnd).cast("long").alias("removal_round")
-        )
-        removed = (
-            peel
-            if removed is None
-            else truncate_lineage(removed.unionByName(peel))
-        )
+        peel = deg.where(F.col("d") <= thr).select("v")
         nxt = (
             cur.join(
                 peel.select(F.col("v").alias("a")).hint("shuffle_hash"),
@@ -109,6 +102,24 @@ def densest_subgraph(
                 "b",
                 "left_anti",
             )
+        )
+        # a vertex leaves the subgraph either by being peeled OR by
+        # losing its last edge to peeled neighbors — tag the round it
+        # LEAVES the surviving edge set, so S_r reconstruction matches
+        # the surviving subgraph's vertex set exactly (an
+        # isolated-but-unpeeled hub must not haunt later rounds)
+        next_verts = nxt.select(F.col("a").alias("v")).union(
+            nxt.select(F.col("b").alias("v"))
+        )
+        gone = (
+            verts.distinct()
+            .join(next_verts.distinct(), "v", "left_anti")
+            .select("v", F.lit(rnd).cast("long").alias("removal_round"))
+        )
+        removed = (
+            gone
+            if removed is None
+            else truncate_lineage(removed.unionByName(gone))
         )
         prev = cur
         cur = nxt

@@ -56,3 +56,15 @@ def test_self_loops_and_parallel_collapse(spark):
     # simple projection: edges {1-2, 2-3}, density 2/3 at round 0
     assert abs(info.densities[0] - 2 / 3) < 1e-9
     assert {r.v_id for r in best.collect()} == {1, 2, 3}
+
+
+def test_isolated_hub_leaves_with_its_edges(spark):
+    """K_{1,5} star + K_4: round 0 peels the star leaves, which
+    isolates the (unpeeled) hub — the hub must NOT appear in the best
+    round's set, which is the surviving K_4."""
+    star = [(0, i) for i in range(1, 6)]
+    k4 = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+    best, info = densest_subgraph(edges_df(spark, star + k4), eps=0.1)
+    assert info.best_round >= 1
+    assert abs(info.best_density - 1.5) < 1e-9  # K4: 6 edges / 4 verts
+    assert {r.v_id for r in best.collect()} == {10, 11, 12, 13}
