@@ -256,8 +256,12 @@ def temporal_reachability(
     )
     all_cands = None
     for h in range(1, max_hops + 1):
+        # shuffle_hash, not broadcast: the frontier grows toward
+        # |sources| x |nodes| — forcing a broadcast would bound the
+        # operator by driver memory (AQE still picks broadcast on its
+        # own when the frontier is actually small)
         cand = (
-            frontier.hint("broadcast")
+            frontier.hint("shuffle_hash")
             .join(e, frontier["node"] == e["_u"])
             .where(cond)
             .groupBy("source", F.col("_v").alias("node"))
