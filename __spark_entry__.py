@@ -623,6 +623,19 @@ def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st
 
 
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bucket-representative negative sampling for
+    link-prediction training pairs, replayed exactly by the oracle."""
+    from cminer_spark.operators import negative_edge_samples
+
+    return negative_edge_samples(
+        gate.gate_edges_df(spark, sf_dir),
+        k=gate.NEG_K,
+        buckets=gate.NEG_BUCKETS,
+        seed=gate.NEG_SEED,
+    )
+
+
 def _q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round (1+eps)-peeling densest subgraph vs the unrolled
     peel oracle (round densities + argmax set replicated in SQL)."""
@@ -1078,6 +1091,7 @@ _DRIVER_WINDOW: list[str] = [
     "boruvka_msf",
     "densest_subgraph",
     "chunk_documents",
+    "negative_samples",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1163,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_color": _q_coloring,
         "boruvka_msf": _q_msf,
         "densest_subgraph": _q_densest,
+        "negative_samples": _q_negative_samples,
         "triangles_total": _q_triangles_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
@@ -1232,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_color": gate.coloring_oracle_sql(),
         "boruvka_msf": gate.msf_oracle_sql(),
         "densest_subgraph": gate.densest_oracle_sql(),
+        "negative_samples": gate.negative_samples_oracle_sql(),
         "triangles_total": gate.triangles_total_oracle_sql(),
         "triangles_per_vertex": gate.triangles_per_vertex_oracle_sql(),
         # incremental splice must equal the full recount — same oracle

@@ -1025,6 +1025,55 @@ FROM range({n})
 """
 
 
+NEG_K = 3
+NEG_BUCKETS = 64
+NEG_SEED = 0
+
+
+def negative_samples_oracle_sql(
+    k: int = NEG_K, b: int = NEG_BUCKETS, seed: int = NEG_SEED
+) -> str:
+    """Replays the bucket-representative negative sampler: bucket =
+    first-8-hex of md5(v) mod b, representative = min (md5(v), v) per
+    bucket, candidate j of src = representative of
+    md5('src:j:seed') mod b, minus self-pairs and real edges."""
+    hx = "CAST('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8) AS BIGINT)"
+    vb = hx.format(x="v") + f" % {b}"
+    cb = (
+        "CAST('0x' || substr(md5(CAST(s.v AS VARCHAR) || ':' || "
+        f"CAST(j AS VARCHAR) || ':{seed}'), 1, 8) AS BIGINT) % {b}"
+    )
+    return _materialize(
+        f"""WITH {EDGES_CTE},
+pos AS (SELECT DISTINCT src, dst FROM edges),
+reps AS (
+  SELECT bucket, v AS dst FROM (
+    SELECT {vb} AS bucket, v, md5(CAST(v AS VARCHAR)) AS h,
+           row_number() OVER (
+             PARTITION BY {vb}
+             ORDER BY md5(CAST(v AS VARCHAR)) ASC, v ASC) AS rn
+    FROM verts
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT DISTINCT s.v AS src, {cb} AS bucket
+  FROM verts s, range(1, {k + 1}) r(j)
+),
+neg AS (
+  SELECT c.src, r.dst FROM cand c JOIN reps r USING (bucket)
+  WHERE c.src <> r.dst
+),
+negf AS (
+  SELECT n.src, n.dst FROM neg n
+  LEFT JOIN pos p ON n.src = p.src AND n.dst = p.dst
+  WHERE p.src IS NULL
+)
+SELECT src, dst, CAST(1 AS BIGINT) AS label FROM pos
+UNION ALL
+SELECT src, dst, CAST(0 AS BIGINT) AS label FROM negf"""
+    )
+
+
 DS_ROUNDS = 3
 DS_EPS = 0.01
 

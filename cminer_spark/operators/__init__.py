@@ -22,7 +22,10 @@ from cminer_spark.operators.components import (
 )
 from cminer_spark.operators.lpa import label_propagation
 from cminer_spark.operators.scc import strongly_connected_components
-from cminer_spark.operators.sampling import sample_neighborhoods
+from cminer_spark.operators.sampling import (
+    negative_edge_samples,
+    sample_neighborhoods,
+)
 from cminer_spark.operators.walks import node2vec_walks, random_walks
 from cminer_spark.operators.triangles import triangle_counts
 from cminer_spark.operators.truss import ktruss_edges
@@ -81,6 +84,7 @@ __all__ = [
     "strongly_connected_components",
     "random_walks",
     "node2vec_walks",
+    "negative_edge_samples",
     "sample_neighborhoods",
     "label_propagation",
     "triangle_counts",

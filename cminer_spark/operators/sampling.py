@@ -104,3 +104,92 @@ def sample_neighborhoods(
 
     adj.unpersist()
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    k: int = 5,
+    buckets: int = 1024,
+    include_positives: bool = True,
+    seed: int = 0,
+) -> DataFrame:
+    """Link-prediction training pairs: the input edges labeled 1 plus
+    ``<= k`` deterministic non-edge negatives per source vertex
+    labeled 0 — ``(src, dst, label)``.
+
+    Negative scheme (scalable AND engine-replayable): every vertex
+    hashes into one of ``buckets`` md5 buckets; each bucket is
+    represented by its min-md5 member (one combinable aggregate →
+    a ``buckets``-row broadcast table). Source ``s``'s j-th candidate
+    is the representative of bucket ``md5(s:j:seed) mod buckets``;
+    candidates that collide with a real edge, a self-pair, or each
+    other are dropped (hence "<= k"). With ``buckets`` on the order
+    of |V| the representatives cover most vertices and the draw is
+    near-uniform; the trade-off versus true uniform sampling (only
+    representatives ever appear as negatives) is the price of
+    determinism + one broadcast join instead of a global index —
+    document-sized corpora crank ``buckets`` up, it only costs the
+    one per-vertex aggregate.
+
+    Plan: one groupBy(bucket) min-struct + one broadcast equi-join +
+    one anti-join against the (deduped) edge set. No windows, no
+    global sort, no RNG state.
+    """
+    if k < 1 or buckets < 1:
+        raise ValueError(f"k and buckets must be >= 1, got {k}, {buckets}")
+    pos = edges.select("src", "dst").distinct()
+    verts = (
+        pos.select(F.col("src").alias("v"))
+        .union(pos.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    bkt = F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % buckets
+    reps = (
+        verts.select(bkt.alias("bucket"), "v")
+        .groupBy("bucket")
+        .agg(F.min(F.struct(F.md5(F.col("v").cast("string")).alias("h"),
+                            F.col("v").alias("v"))).alias("m"))
+        .select("bucket", F.col("m.v").alias("dst"))
+    )
+    cand = (
+        verts.select(F.col("v").alias("src"))
+        .select(
+            "src",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(int(k))),
+                    lambda j: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("src").cast("string"),
+                                    j.cast("string"),
+                                    F.lit(str(int(seed))),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % buckets,
+                )
+            ).alias("bucket"),
+        )
+        .distinct()  # collapse same-bucket draws for one src
+    )
+    neg = (
+        cand.join(F.broadcast(reps), "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .join(pos, ["src", "dst"], "left_anti")
+        .select("src", "dst", F.lit(0).cast("long").alias("label"))
+    )
+    if not include_positives:
+        return neg
+    return pos.select(
+        "src", "dst", F.lit(1).cast("long").alias("label")
+    ).unionByName(neg)
