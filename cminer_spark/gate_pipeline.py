@@ -1366,7 +1366,7 @@ def gopher_oracle_sql(p: dict = GOPHER_GATE) -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, text, string_split(lower(text), ' ') AS t
+  SELECT doc_id, text, string_split_regex(lower(text), ' +') AS t
   FROM documents
 ),
 stats AS (
@@ -1511,7 +1511,7 @@ def chunking_oracle_sql(
     # docs cap at ~100 tokens, 1000 strides is a safe ceiling
     return f"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  SELECT doc_id, string_split_regex(text, ' +') AS ts FROM documents
 )
 SELECT doc_id,
        CAST(ci AS BIGINT) AS chunk_idx,
@@ -1531,7 +1531,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UNIGRAM_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS t
   FROM documents
 ),
 tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),

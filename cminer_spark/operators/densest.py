@@ -88,6 +88,12 @@ def densest_subgraph(
         if density > info.best_density:
             info.best_density = density
             info.best_round = rnd
+        if rnd == max_rounds:
+            # final round only records its density — a peel here could
+            # never change the argmax set, so skip the dead work (and
+            # release the last cached state)
+            cur.unpersist()
+            break
         thr = (thr_mult * n_e) / n_v
         deg = verts.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
         peel = deg.where(F.col("d") <= thr).select("v")

@@ -99,16 +99,18 @@ def line_dedup(
 
     # Keys duplicated across >= min_dup_docs distinct docs. Partial
     # aggregation collapses per-partition copies first, so corpus-wide
-    # mega-lines cost no skewed reducer.
+    # mega-lines cost no skewed reducer. The keep-first policy also
+    # needs each duplicated key's first occurrence — a combinable
+    # min(struct), aggregated only when that policy asks for it.
+    aggs = [F.countDistinct("doc_id").alias("n_docs")]
+    if keep_first:
+        aggs.append(F.min(F.struct("doc_id", "pos")).alias("first_occ"))
     dup_keys = (
         occ.where(F.col("key").isNotNull())
         .groupBy("key")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
-        )
+        .agg(*aggs)
         .where(F.col("n_docs") >= min_dup_docs)
-        .select("key", "first_occ")
+        .drop("n_docs")
     )
 
     if keep_first:
@@ -120,7 +122,7 @@ def line_dedup(
             | (F.struct("doc_id", "pos") == F.col("first_occ"))
         )
     else:
-        kept = occ.join(dup_keys.select("key"), "key", "left_anti")
+        kept = occ.join(dup_keys, "key", "left_anti")
 
     surv = kept.groupBy("doc_id").agg(
         F.concat_ws(

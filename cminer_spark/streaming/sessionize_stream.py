@@ -41,11 +41,13 @@ def _make_kernel(gap_us: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         last_us, sess = state.get if state.exists else (None, -1)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # vectorized over the Arrow batch: sort, gap-flag, cumsum
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # a key's micro-batch rows can arrive as SEVERAL Arrow chunks
+        # in arbitrary post-shuffle order — concatenate and sort ONCE,
+        # otherwise per-chunk sorting breaks the in-order batch-parity
+        # contract (chunk 2 may hold timestamps older than chunk 1's)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
             us = pdf["ts_us"].astype("int64")
             prev = us.shift(1)
             if last_us is None:
