@@ -51,3 +51,42 @@ def test_pagerank_superstep_uses_shuffle_hash_join(spark):
     plan = _plan(step)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_keep_first_has_no_sort_window(spark):
+    """keep-first's 'first occurrence' must stay a combinable
+    min(struct) — a per-key sort window would put a mega-duplicated
+    line's 10^9 occurrences into one sorting partition."""
+    from cminer_spark.pipeline import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a\nb"), (1, "a\nc")], "doc_id long, text string"
+    )
+    assert "Window" not in _plan(line_dedup(docs, keep_first=True))
+
+
+def test_gopher_filters_shuffle_free(spark):
+    from cminer_spark.pipeline import gopher_quality_filters
+
+    docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    assert "Exchange" not in _plan(gopher_quality_filters(docs))
+
+
+def test_chunking_shuffle_free(spark):
+    from cminer_spark.pipeline import chunk_documents
+
+    docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    assert "Exchange" not in _plan(chunk_documents(docs, chunk_tokens=2))
+
+
+def test_kmeans_assignment_is_scan_speed(spark):
+    """After training, assignment is a broadcast-constant projection:
+    no join, no shuffle."""
+    from cminer_spark.pipeline import kmeans
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(kmeans(df, k=2, n_iters=1, init_ids=[0, 1]))
+    assert "Join" not in plan and "Exchange" not in plan
