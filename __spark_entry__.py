@@ -1090,6 +1090,8 @@ _DRIVER_WINDOW: list[str] = [
     "densest_subgraph",
     "chunk_documents",
     "negative_samples",
+    "duplicate_spans",
+    "span_dup_stats",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",

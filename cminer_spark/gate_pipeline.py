@@ -57,6 +57,11 @@ PACK_MAX_TOKENS = 120
 PACK_GROUPS = 7
 QUOTA_N = 20
 DECONTAM_NGRAM = 8
+# exact-substring span dedup (Lee et al. 2021): 8-token grams hit a
+# real duplicated-passage population in the synth docs (47/500 docs
+# at sf0.01) without collapsing to whole-doc dup detection
+SPAN_NGRAM = 8
+SPAN_MIN_COUNT = 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1236,6 +1241,22 @@ def _line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.spans import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), n=SPAN_NGRAM, min_count=SPAN_MIN_COUNT
+    )
+
+
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.spans import span_dup_stats
+
+    return span_dup_stats(
+        _docs(spark, sf_dir), n=SPAN_NGRAM, min_count=SPAN_MIN_COUNT
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.pipeline.lines import line_dedup
 
@@ -1252,6 +1273,68 @@ def q_line_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_dup_docs=LINE_DEDUP_MIN_DOCS,
         keep_first=True,
     )
+
+
+_SPAN_ISLANDS_CTE = """
+d AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS t
+      FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS start,
+         md5(array_to_string(t[i:i+{n}-1], ' ')) AS gram
+  FROM d, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i)
+  WHERE len(t) >= {n}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= {min_count}),
+ds AS (SELECT doc_id, start FROM g
+       WHERE gram IN (SELECT gram FROM dup)),
+brk AS (
+  SELECT doc_id, start,
+         CASE WHEN start <= lag(start) OVER (PARTITION BY doc_id
+                                             ORDER BY start) + {n}
+              THEN 0 ELSE 1 END AS b
+  FROM ds
+),
+isl AS (
+  SELECT doc_id, start,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id,
+         CAST(min(start) AS INT) AS span_start,
+         CAST(max(start) + {n} - 1 AS INT) AS span_end,
+         CAST(max(start) + {n} - min(start) AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+
+def duplicate_spans_oracle_sql(
+    n: int = SPAN_NGRAM, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    """Gaps-and-islands mirror of ``pipeline.spans.duplicate_spans``:
+    a duplicated-start run breaks when the next start exceeds the
+    previous covered end + 1 (start > prev_start + n)."""
+    cte = _SPAN_ISLANDS_CTE.format(n=n, min_count=min_count)
+    return f"WITH {cte} SELECT doc_id, span_start, span_end, span_tokens FROM spans"
+
+
+def span_dup_stats_oracle_sql(
+    n: int = SPAN_NGRAM, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    cte = _SPAN_ISLANDS_CTE.format(n=n, min_count=min_count)
+    return f"""WITH {cte},
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+agg AS (SELECT doc_id, sum(span_tokens) AS dt FROM spans GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(a.dt, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(a.dt, 0) / greatest(b.n_tokens, 1), 6) AS dup_frac
+FROM base b LEFT JOIN agg a USING (doc_id)"""
 
 
 _LINE_KEYED_CTE = """
@@ -1578,6 +1661,8 @@ def queries():
         "chunk_documents": q_chunk_documents,
         "line_dedup": q_line_dedup,
         "line_dedup_keepfirst": q_line_dedup_keepfirst,
+        "duplicate_spans": q_duplicate_spans,
+        "span_dup_stats": q_span_dup_stats,
         "quantize_int8": q_quantize_int8,
         "random_projection": q_random_projection,
     }
@@ -1619,6 +1704,8 @@ def oracles():
         "chunk_documents": chunking_oracle_sql(),
         "line_dedup": line_dedup_oracle_sql(),
         "line_dedup_keepfirst": line_dedup_keepfirst_oracle_sql(),
+        "duplicate_spans": duplicate_spans_oracle_sql(),
+        "span_dup_stats": span_dup_stats_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,
         "random_projection": projection_oracle_sql(),
     }

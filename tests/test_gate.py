@@ -34,15 +34,24 @@ def _multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _kinds(pdf):
+    """{col: pandas dtype.kind}. The driver's value hasher is
+    type-sensitive through the pandas conversion (round-3's
+    validate_transcripts red: DuckDB HUGEINT sum vs Spark BIGINT —
+    identical values, mismatched hash), so kinds must agree too."""
+    return {c.lower(): pdf[c].dtype.kind for c in pdf.columns}
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_gate_query_matches_oracle(spark, duck, name):
     fn = entrymod.queries()[name]
-    sdf = fn(spark, SF_DIR)
+    sdf = fn(spark, SF_DIR).persist()
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
 
     oracles = entrymod.oracle_sql()
     if name not in oracles:
+        sdf.unpersist()
         assert len(s_rows) >= 0  # rows-only check
         return
     cur = duck.execute(oracles[name])
@@ -51,6 +60,16 @@ def test_gate_query_matches_oracle(spark, duck, name):
     assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert _multiset(s_cols, s_rows) == _multiset(d_cols, d_rows)
+    if s_rows:
+        s_kinds = _kinds(sdf.toPandas())
+        d_kinds = _kinds(duck.execute(oracles[name]).df())
+        mismatched = {
+            c: (s_kinds.get(c), d_kinds.get(c))
+            for c in s_kinds
+            if s_kinds.get(c) != d_kinds.get(c)
+        }
+        assert not mismatched, f"pandas dtype-kind mismatch: {mismatched}"
+    sdf.unpersist()
 
 
 def test_entry_smoke(spark):

@@ -2,7 +2,17 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB at the given sf dir, compares row count,
-column names, and order-insensitive values (rounded string form).
+column names, order-insensitive values (rounded string form), AND
+pandas dtype KINDS per column.
+
+The dtype-kind pass exists because the driver's value hasher is
+type-sensitive through the pandas conversion: round-3's
+``validate_transcripts`` red was a DuckDB HUGEINT ``sum()`` that
+converts to a different pandas dtype than Spark's BIGINT — values
+identical, hash mismatched — and the old string-normalized compare
+could not see it. Both result sets are pulled through pandas
+(``toPandas()`` / ``.df()``), columns sorted by name, and each
+column's ``dtype.kind`` must agree (int vs float vs object ...).
 
 Usage: python tools/check_gate.py [sf_dir] [query ...]
 """
@@ -41,6 +51,13 @@ def rows_to_multiset(cols, rows):
     return out
 
 
+def dtype_kinds(pdf):
+    """{col: dtype.kind} with columns lowercased — the driver hashes
+    through pandas, so a kind mismatch (int vs float vs object) is a
+    hash mismatch even when stringified values agree."""
+    return {c.lower(): pdf[c].dtype.kind for c in pdf.columns}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -60,9 +77,11 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
+            sdf = fn(spark, sf_dir).persist()
             s_cols = [c.lower() for c in sdf.columns]
             s_rows = [tuple(r) for r in sdf.collect()]
+            s_kinds = dtype_kinds(sdf.toPandas())
+            sdf.unpersist()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
@@ -74,6 +93,7 @@ def main() -> int:
             cur = con.execute(oracles[name])
             d_cols = [d[0].lower() for d in cur.description]
             d_rows = cur.fetchall()
+            d_kinds = dtype_kinds(con.execute(oracles[name]).df())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
@@ -94,6 +114,20 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             failures += 1
             continue
+        # empty frames carry no kind signal on the object-typed side
+        if len(s_rows) > 0:
+            kind_bad = {
+                c: (s_kinds.get(c), d_kinds.get(c))
+                for c in s_kinds
+                if s_kinds.get(c) != d_kinds.get(c)
+            }
+            if kind_bad:
+                print(
+                    f"FAIL {name}: pandas dtype-kind mismatch "
+                    f"(spark, duckdb): {kind_bad}"
+                )
+                failures += 1
+                continue
         print(f"PASS {name}: rows={len(s_rows)} cols={len(s_cols)} ({dt:.1f}s)")
     spark.stop()
     return 1 if failures else 0
