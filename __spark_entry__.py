@@ -1092,6 +1092,7 @@ _DRIVER_WINDOW: list[str] = [
     "negative_samples",
     "duplicate_spans",
     "span_dup_stats",
+    "strip_dup_spans",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",

@@ -1257,6 +1257,17 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.spans import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _docs(spark, sf_dir),
+        n=SPAN_NGRAM,
+        min_count=SPAN_MIN_COUNT,
+        keep="first",
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.pipeline.lines import line_dedup
 
@@ -1335,6 +1346,46 @@ SELECT b.doc_id, b.n_tokens,
        CAST(coalesce(a.dt, 0) AS BIGINT) AS dup_tokens,
        round(coalesce(a.dt, 0) / greatest(b.n_tokens, 1), 6) AS dup_frac
 FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
+def strip_spans_oracle_sql(
+    n: int = SPAN_NGRAM, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    """keep='first' mirror: survivor per exact span content =
+    smallest (doc_id, span_start); later copies' token positions are
+    dropped and the doc is reassembled in token order."""
+    cte = _SPAN_ISLANDS_CTE.format(n=n, min_count=min_count)
+    return f"""WITH {cte},
+sp2 AS (
+  SELECT s.doc_id, s.span_start, s.span_end, s.span_tokens,
+         md5(array_to_string(d.t[s.span_start:s.span_end], ' '))
+           AS span_hash
+  FROM spans s JOIN d USING (doc_id)
+),
+removals AS (
+  SELECT doc_id, span_start, span_end, span_tokens FROM sp2
+  QUALIFY row_number() OVER (PARTITION BY span_hash
+                             ORDER BY doc_id, span_start) > 1
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS tok FROM d
+),
+kept AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text_clean
+  FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removals r
+    WHERE r.doc_id = pos.doc_id
+      AND pos.p BETWEEN r.span_start AND r.span_end)
+  GROUP BY doc_id
+),
+nrm AS (SELECT doc_id, sum(span_tokens) AS nr FROM removals GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(k.text_clean, '') AS text_clean,
+       CAST(coalesce(nrm.nr, 0) AS BIGINT) AS n_removed
+FROM d
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN nrm USING (doc_id)"""
 
 
 _LINE_KEYED_CTE = """
@@ -1663,6 +1714,7 @@ def queries():
         "line_dedup_keepfirst": q_line_dedup_keepfirst,
         "duplicate_spans": q_duplicate_spans,
         "span_dup_stats": q_span_dup_stats,
+        "strip_dup_spans": q_strip_dup_spans,
         "quantize_int8": q_quantize_int8,
         "random_projection": q_random_projection,
     }
@@ -1706,6 +1758,7 @@ def oracles():
         "line_dedup_keepfirst": line_dedup_keepfirst_oracle_sql(),
         "duplicate_spans": duplicate_spans_oracle_sql(),
         "span_dup_stats": span_dup_stats_oracle_sql(),
+        "strip_dup_spans": strip_spans_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,
         "random_projection": projection_oracle_sql(),
     }

@@ -29,7 +29,11 @@ from cminer_spark.pipeline.curation import (
 )
 from cminer_spark.pipeline.chunking import chunk_documents
 from cminer_spark.pipeline.lines import line_dedup
-from cminer_spark.pipeline.spans import duplicate_spans, span_dup_stats
+from cminer_spark.pipeline.spans import (
+    duplicate_spans,
+    span_dup_stats,
+    strip_duplicate_spans,
+)
 from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
 from cminer_spark.pipeline.textstats import (
     gopher_quality_filters,
@@ -74,6 +78,7 @@ __all__ = [
     "line_dedup",
     "duplicate_spans",
     "span_dup_stats",
+    "strip_duplicate_spans",
     "normalize_text",
     "PII_PATTERNS",
     "redact_pii",

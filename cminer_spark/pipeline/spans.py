@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["duplicate_spans", "span_dup_stats"]
+__all__ = ["duplicate_spans", "span_dup_stats", "strip_duplicate_spans"]
 
 
 def _gram_starts(
@@ -135,6 +135,91 @@ def duplicate_spans(
             (F.col("sp.e") - F.col("sp.s") + 1)
             .cast("long")
             .alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_hash: str = "md5",
+) -> DataFrame:
+    """Rewrite the corpus with duplicated spans removed:
+    ``(doc_id, text_clean string, n_removed bigint)`` — every doc
+    appears; untouched docs pass through with ``n_removed = 0``.
+
+    Policies (span = a maximal interval from :func:`duplicate_spans`):
+
+    * ``keep='none'`` — remove every duplicated span everywhere (the
+      aggressive boilerplate-scrub; no copy survives).
+    * ``keep='first'`` — the globally first occurrence (smallest
+      ``(doc_id, span_start)``) of each exact span CONTENT survives,
+      later copies are removed — one copy of each duplicated passage
+      stays in the corpus, the published dedup policy. Content
+      granularity is the merged maximal span: a span whose merged
+      extent produces content no other doc reproduces exactly keeps
+      its (unique) first occurrence, i.e. survives.
+
+    The survivor choice is a combinable ``min(struct(doc_id, start))``
+    per content hash — deliberately no per-key sort window, so a
+    million-copy passage cannot create a skewed sort (same design as
+    ``lines.line_dedup``). Token rebuild is a per-doc higher-order
+    filter; nothing leaves the doc's row.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    )
+    spans = duplicate_spans(
+        docs, n, min_count, id_col, text_col, gram_hash
+    ).join(base, "doc_id")
+    spans = spans.withColumn(
+        "span_hash",
+        F.expr("md5(concat_ws(' ', slice(toks, span_start, "
+               "span_end - span_start + 1)))"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens", "span_hash")
+    if keep == "first":
+        firsts = spans.groupBy("span_hash").agg(
+            F.min(F.struct("doc_id", "span_start")).alias("f")
+        )
+        removals = spans.join(
+            firsts.hint("shuffle_hash"), "span_hash"
+        ).where(
+            ~(
+                (F.col("doc_id") == F.col("f.doc_id"))
+                & (F.col("span_start") == F.col("f.span_start"))
+            )
+        )
+    else:
+        removals = spans
+    rm = removals.groupBy("doc_id").agg(
+        F.collect_list(F.struct(
+            F.col("span_start").alias("s"), F.col("span_end").alias("e")
+        )).alias("rm"),
+        F.sum("span_tokens").alias("n_removed"),
+    )
+    return (
+        base.join(rm, "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.expr(
+                "CASE WHEN rm IS NULL THEN toks ELSE "
+                "transform(filter(zip_with(toks, sequence(1, size(toks)),"
+                " (t, i) -> named_struct('t', t, 'i', i)),"
+                " x -> NOT exists(rm, sp -> x.i >= sp.s AND x.i <= sp.e)),"
+                " x -> x.t) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept")).alias("text_clean"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
 

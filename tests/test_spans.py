@@ -8,7 +8,11 @@ import random
 
 import pytest
 
-from cminer_spark.pipeline.spans import duplicate_spans, span_dup_stats
+from cminer_spark.pipeline.spans import (
+    duplicate_spans,
+    span_dup_stats,
+    strip_duplicate_spans,
+)
 
 N = 3
 
@@ -133,6 +137,72 @@ def test_span_maximality_invariants(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1 + 1, "adjacent/overlapping spans must merge"
+
+
+def test_strip_keep_first_keeps_one_copy(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "x y alpha beta gamma delta epsilon q r s"),
+            (3, "untouched words stay put here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_duplicate_spans(docs, n=N, keep="first").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1 holds the globally-first occurrence — it survives intact
+    assert out[1].text_clean == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1].n_removed == 0
+    assert out[2].text_clean == "x y q r s" and out[2].n_removed == 5
+    assert out[3].n_removed == 0
+
+
+def test_strip_keep_none_removes_all_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "x y alpha beta gamma delta epsilon q r s"),
+            (4, "rep rep rep rep rep rep"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_duplicate_spans(docs, n=N, keep="none").collect()
+    }
+    assert out[1].text_clean == "zeta eta theta" and out[1].n_removed == 5
+    assert out[2].text_clean == "x y q r s"
+    # a fully-duplicated doc empties out but still appears
+    assert out[4].text_clean == "" and out[4].n_removed == 6
+
+
+def test_strip_none_matches_stats_dup_tokens(spark):
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = spark.createDataFrame(
+        [
+            (d, " ".join(rng.choice(vocab) for _ in range(28)))
+            for d in range(20)
+        ],
+        "doc_id int, text string",
+    )
+    removed = {
+        r.doc_id: r.n_removed
+        for r in strip_duplicate_spans(docs, n=N, keep="none").collect()
+    }
+    stats = {
+        r.doc_id: r.dup_tokens for r in span_dup_stats(docs, n=N).collect()
+    }
+    assert removed == stats
+
+
+def test_strip_rejects_bad_policy(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        strip_duplicate_spans(docs, n=N, keep="last")
 
 
 def test_stats_consistent_with_spans(spark):
