@@ -412,6 +412,17 @@ def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashmin_components(gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS)
 
 
+def _q_pregel_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the generic vertex-program API running the same hash-min
+    # program — bit-identical to hashmin_components at every round,
+    # so it shares the connected_components_k10 oracle
+    from cminer_spark.operators.pregel import pregel_components
+
+    return pregel_components(
+        gate.gate_edges_df(spark, sf_dir), rounds=gate.CC_ROUNDS
+    )
+
+
 def _q_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, _info = eigenvector_centrality(
         gate.gate_edges_df(spark, sf_dir), max_iter=gate.EIG_ITERS, tol=0.0
@@ -1093,6 +1104,7 @@ _DRIVER_WINDOW: list[str] = [
     "duplicate_spans",
     "span_dup_stats",
     "strip_dup_spans",
+    "pregel_cc_k10",
     # (c) green in r2, dark in r3
     "minhash_lsh_candidates",
     "simhash48",
@@ -1160,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "assortativity_out_in": _q_assortativity,
         "connected_components_k10": _q_cc,
+        "pregel_cc_k10": _q_pregel_cc,
         "cc_incremental": _q_cc_incremental,
         "scc": _q_scc,
         "random_walks": _q_random_walks,
@@ -1230,6 +1243,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": gate.degree_histogram_oracle_sql(),
         "assortativity_out_in": gate.assortativity_oracle_sql(),
         "connected_components_k10": gate.cc_oracle_sql(),
+        # the pregel twin runs the identical hash-min program
+        "pregel_cc_k10": gate.cc_oracle_sql(),
         "cc_incremental": gate.cc_incremental_oracle_sql(),
         "scc": gate.scc_oracle_sql(),
         "random_walks": gate.random_walks_oracle_sql(),

@@ -13,6 +13,7 @@ from cminer_spark.operators.graph import (
     hub_vertices,
 )
 from cminer_spark.operators.pagerank import pagerank
+from cminer_spark.operators.pregel import pregel, pregel_components
 from cminer_spark.operators.hits import hits, salsa
 from cminer_spark.operators.katz import katz
 from cminer_spark.operators.components import (
@@ -75,6 +76,8 @@ __all__ = [
     "cooccurrence",
     "csr_blocks",
     "pagerank",
+    "pregel",
+    "pregel_components",
     "katz",
     "hits",
     "salsa",
