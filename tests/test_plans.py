@@ -90,3 +90,35 @@ def test_kmeans_assignment_is_scan_speed(spark):
     )
     plan = _plan(kmeans(df, k=2, n_iters=1, init_ids=[0, 1]))
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_duplicate_spans_no_window_and_no_all_pairs(spark):
+    """Span detection must stay: gram groupBy + semi-join + doc
+    groupBy with an in-row interval fold — no window shuffle, no
+    cartesian/broadcast-nested-loop blowup."""
+    from cminer_spark.pipeline import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+    )
+    plan = _plan(duplicate_spans(docs, n=3))
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pregel_message_join_is_shuffle_hash(spark):
+    """The pregel message join must not fall back to SortMergeJoin —
+    the state side is a parquet/localCheckpoint scan with unknown
+    stats and SMJ would re-sort the adjacency every superstep."""
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    state = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "v_id long, component long"
+    )
+    src_state = state.select(
+        F.col("v_id").alias("src"), F.col("component").alias("src_component")
+    ).hint("shuffle_hash")
+    msgs = edges.join(src_state, "src").select(
+        F.col("dst").alias("v_id"), F.col("src_component").alias("m")
+    )
+    plan = _plan(msgs.groupBy("v_id").agg(F.min("m").alias("mn")))
+    assert "SortMergeJoin" not in plan
