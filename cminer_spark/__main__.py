@@ -132,10 +132,56 @@ def _main_mine(argv: list[str]) -> int:
     return 0
 
 
+def _main_compact(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="cminer_spark compact")
+    ap.add_argument("table", help="parquet table ref/path to compact")
+    ap.add_argument("--target-file-mb", type=int, default=256)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from cminer_spark.sources.tables import compact_table
+
+    spark, owned = _session("cminer-compact", args.master)
+    stats = compact_table(spark, args.table, target_file_mb=args.target_file_mb)
+    print(json.dumps(stats))
+    if owned:
+        spark.stop()
+    return 0
+
+
+def _main_pairs(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="cminer_spark pairs")
+    ap.add_argument("--transcripts", required=True)
+    ap.add_argument("--history", type=int, default=3)
+    ap.add_argument("--target-role", default="assistant")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from cminer_spark.pipeline.dialogs import build_training_pairs
+    from cminer_spark.sources.tables import read_table, write_table
+
+    spark, owned = _session("cminer-pairs", args.master)
+    out = build_training_pairs(
+        read_table(spark, args.transcripts),
+        history=args.history,
+        target_role=args.target_role,
+    )
+    write_table(out, args.output)
+    print(json.dumps({"history": args.history, "role": args.target_role}))
+    if owned:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "mine":
         return _main_mine(argv[1:])
+    if argv and argv[0] == "compact":
+        return _main_compact(argv[1:])
+    if argv and argv[0] == "pairs":
+        return _main_pairs(argv[1:])
     ap = argparse.ArgumentParser(prog="cminer_spark")
     ap.add_argument("--transcripts", help="transcripts table ref (iceberg:/table:/parquet:)")
     ap.add_argument("--edges", help="pre-extracted edges table ref (skips extraction)")
@@ -144,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "components", "lpa", "triangles", "katz", "louvain",
             "eigenvector", "mis", "coloring", "msf", "densest",
+            "dyad-census", "topk-cap", "feature-prop",
         ],
         default="pagerank",
     )
@@ -178,6 +225,13 @@ def main(argv: list[str] | None = None) -> int:
         "input edge table as an ADD-ONLY DELTA and splices "
         "(incremental_components)",
     )
+    ap.add_argument("--topk", type=int, default=8, help="topk-cap k")
+    ap.add_argument(
+        "--features",
+        help="(v_id, emb array<double>) table ref for feature-prop",
+    )
+    ap.add_argument("--prop-rounds", type=int, default=2)
+    ap.add_argument("--prop-alpha", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from cminer_spark.operators import (
@@ -324,6 +378,26 @@ def main(argv: list[str] | None = None) -> int:
             levels=vinfo.levels,
             n_communities=vinfo.n_communities,
             modularity=vinfo.modularity,
+        )
+    elif args.algorithm == "dyad-census":
+        from cminer_spark.operators import dyad_census
+
+        out = dyad_census(edges)
+    elif args.algorithm == "topk-cap":
+        from cminer_spark.operators import topk_out_edges
+
+        out = topk_out_edges(edges, k=args.topk)
+    elif args.algorithm == "feature-prop":
+        from cminer_spark.operators import propagate_features
+
+        if not args.features:
+            ap.error("feature-prop needs --features")
+        out = propagate_features(
+            edges,
+            read_table(spark, args.features),
+            rounds=args.prop_rounds,
+            alpha=args.prop_alpha,
+            as_array=True,
         )
     else:
         out, total = triangle_counts(edges)

@@ -1907,3 +1907,170 @@ SELECT p.c AS community,
             ELSE 0.0 END AS conductance
 FROM perc p CROSS JOIN tot t"""
     )
+
+
+# ----------------------------------------------------------------------
+# r4 wave-3 gates: weighted PageRank, dyad census, feature
+# propagation, top-k edge sparsification
+# ----------------------------------------------------------------------
+
+# deterministic per-edge weight both engines derive identically from
+# the edge key — exercises the weighted stochastic matrix (w/sum(w))
+WEIGHT_EXPR = "CAST(1 + (src % 5) AS DOUBLE)"
+
+
+def weighted_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate graph with the deterministic non-uniform edge weight."""
+    _register_events(spark, sf_dir)
+    return spark.sql(
+        f"WITH {EDGES_CTE} "
+        f"SELECT src, dst, type, {WEIGHT_EXPR} AS weight FROM edges"
+    )
+
+
+def pagerank_weighted_oracle_sql(k: int = PR_ITERS, d: float = DAMPING) -> str:
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""",
+adjw AS (SELECT src, dst, CAST(sum({WEIGHT_EXPR}) AS DOUBLE) AS w
+         FROM edges GROUP BY src, dst),
+outw AS (SELECT src, sum(w) AS ow FROM adjw GROUP BY src),
+adj  AS (SELECT a.src, a.dst, a.w / o.ow AS p FROM adjw a JOIN outw o ON a.src = o.src),
+nv   AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+dangf AS (SELECT v.v, CASE WHEN o.src IS NULL THEN 1 ELSE 0 END AS dang
+          FROM verts v LEFT JOIN outw o ON v.v = o.src),
+r0 AS (SELECT v.v, 1.0 / nv.n AS r FROM verts v CROSS JOIN nv)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+m{i} AS (SELECT a.dst AS v, sum(a.p * r.r) AS mass
+         FROM adj a JOIN r{i-1} r ON a.src = r.v GROUP BY a.dst),
+dg{i} AS (SELECT coalesce(sum(r.r), 0.0) AS dmass
+          FROM r{i-1} r JOIN dangf f ON r.v = f.v WHERE f.dang = 1),
+r{i} AS (SELECT v.v,
+                (1.0 - {d}) / nv.n + {d} * (coalesce(m.mass, 0.0) + dg.dmass / nv.n) AS r
+         FROM verts v CROSS JOIN nv CROSS JOIN dg{i} dg
+         LEFT JOIN m{i} m ON v.v = m.v)"""
+        )
+    parts.append(
+        f"""
+SELECT r.v AS v_id, round(r.r * nv.n, 6) AS rank_x_n
+FROM r{k} r CROSS JOIN nv"""
+    )
+    return _materialize("".join(parts))
+
+
+# dyad census runs on the gate graph plus a deterministic reversed
+# subset (the reply DAG alone has zero mutual dyads — reversing the
+# src % 3 = 0 edges plants a known-nonzero reciprocity)
+DYAD_EDGES_CTE = (
+    EDGES_CTE
+    + """,
+dedges AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges WHERE src % 3 = 0
+)
+"""
+)
+
+
+def dyad_census_oracle_sql() -> str:
+    return _materialize(
+        f"""WITH {DYAD_EDGES_CTE},
+e AS (SELECT DISTINCT src, dst FROM dedges WHERE src <> dst),
+mm AS (SELECT count(*) AS me
+       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+tt AS (SELECT count(*) AS n_edges FROM e)
+SELECT CAST(floor(mm.me / 2.0) AS BIGINT) AS mutual,
+       CAST(tt.n_edges - mm.me AS BIGINT) AS asym,
+       CAST(tt.n_edges AS BIGINT) AS edges,
+       round(CASE WHEN tt.n_edges > 0
+                  THEN CAST(mm.me AS DOUBLE) / tt.n_edges
+                  ELSE 0.0 END, 6) AS reciprocity
+FROM mm CROSS JOIN tt"""
+    )
+
+
+# feature propagation: dim-4 closed-form x0, k=2 damped rounds
+PROP_DIM = 4
+PROP_ROUNDS = 2
+PROP_ALPHA = 0.5
+
+
+def feature_propagation_oracle_sql(
+    k: int = PROP_ROUNDS, alpha: float = PROP_ALPHA, dim: int = PROP_DIM
+) -> str:
+    vals = ", ".join(f"({p})" for p in range(dim))
+    parts = [
+        f"WITH {EDGES_CTE}",
+        f""",
+x0 AS (SELECT v.v, p.pos,
+              CAST((v.v % (7 + p.pos)) + 1 AS DOUBLE) AS val
+       FROM verts v CROSS JOIN (VALUES {vals}) AS p(pos))""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+nm{i} AS (SELECT s.u AS v, x.pos, avg(x.val) AS nm
+          FROM sym s JOIN x{i-1} x ON s.v = x.v
+          GROUP BY s.u, x.pos),
+x{i} AS (SELECT x.v, x.pos,
+                {alpha} * x.val
+                + {1.0 - alpha} * coalesce(n.nm, x.val) AS val
+         FROM x{i-1} x
+         LEFT JOIN nm{i} n ON x.v = n.v AND x.pos = n.pos)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS v_id, pos, round(val, 6) AS val FROM x{k}"""
+    )
+    return _materialize("".join(parts))
+
+
+TOPK_OUT_K = 3
+
+
+def topk_out_edges_oracle_sql(k: int = TOPK_OUT_K) -> str:
+    # runs on the REVERSED gate graph (tool/turn sinks become heavy
+    # sources) with the deterministic weight keyed by the ORIGINAL src
+    return _materialize(
+        f"""WITH {EDGES_CTE},
+rev AS (SELECT dst AS src, src AS dst, {WEIGHT_EXPR} AS weight FROM edges),
+coll AS (SELECT src, dst, CAST(sum(weight) AS DOUBLE) AS w
+         FROM rev GROUP BY src, dst),
+rk AS (SELECT src, dst, w,
+              row_number() OVER (PARTITION BY src
+                                 ORDER BY w DESC, dst ASC) AS rk
+       FROM coll)
+SELECT src, dst, w, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= {k}"""
+    )
+
+
+# dialogue (context, response) training pairs over the transcript view
+PAIRS_HISTORY = 3
+
+
+def training_pairs_oracle_sql(history: int = PAIRS_HISTORY) -> str:
+    return _materialize(
+        f"""WITH {TRANSCRIPTS_CTE},
+ctx AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(text, '') AS response,
+         string_agg(role || ': ' || coalesce(text, ''), chr(10))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN {history} PRECEDING AND 1 PRECEDING)
+           AS context,
+         count(*)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN {history} PRECEDING AND 1 PRECEDING)
+           AS n_context_turns
+  FROM tr
+)
+SELECT conv_id, turn_idx,
+       CAST(n_context_turns AS BIGINT) AS n_context_turns,
+       coalesce(context, '') AS context,
+       response
+FROM ctx WHERE role = 'assistant'"""
+    )

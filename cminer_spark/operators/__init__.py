@@ -63,6 +63,9 @@ from cminer_spark.operators.anf import (
     effective_diameter,
     neighborhood_function_exact,
 )
+from cminer_spark.operators.propagation import propagate_features
+from cminer_spark.operators.sparsify import topk_out_edges
+from cminer_spark.operators.stats import dyad_census
 
 __all__ = [
     "extract_edges",
@@ -118,4 +121,7 @@ __all__ = [
     "anf_sketch",
     "effective_diameter",
     "neighborhood_function_exact",
+    "propagate_features",
+    "topk_out_edges",
+    "dyad_census",
 ]

@@ -395,3 +395,46 @@ def rank_churn(
         F.abs("pos_delta"), F.lit(2_147_483_647)
     )
     return out.orderBy(mover.desc(), F.col("v_id").asc()).limit(k)
+
+
+def dyad_census(edges: DataFrame) -> DataFrame:
+    """Directed dyad census + reciprocity (Holland & Leinhardt 1970).
+
+    Over the directed SIMPLE projection of ``edges(src, dst)``
+    (parallel edges collapse, self-loops excluded): counts mutual
+    dyads (both directions present), asymmetric dyads (exactly one),
+    and ``reciprocity = mutual directed edges / directed edges`` —
+    the standard one-number answer to "how conversational is this
+    link graph" (a reply graph where tools answer back vs a pure
+    broadcast graph).
+
+    Returns one row ``(mutual, asym, edges, reciprocity)``.
+
+    Scale shape: one ``distinct`` shuffle on the pair key, then ONE
+    self-join of the simple edge set onto its own reversal
+    (shuffle-hash, same key) and a combinable global aggregate — no
+    per-vertex state, no window.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mut_edges = e.join(rev.hint("shuffle_hash"), ["src", "dst"], "left_semi")
+    out = (
+        e.select(F.count(F.lit(1)).alias("edges"))
+        .crossJoin(mut_edges.select(F.count(F.lit(1)).alias("me")))
+        .select(
+            (F.col("me") / 2).cast("long").alias("mutual"),
+            (F.col("edges") - F.col("me")).cast("long").alias("asym"),
+            F.col("edges").cast("long").alias("edges"),
+            F.round(
+                F.when(F.col("edges") > 0, F.col("me") / F.col("edges"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("reciprocity"),
+        )
+    )
+    return out

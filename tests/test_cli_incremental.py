@@ -152,3 +152,55 @@ def test_cli_new_algorithms(spark, tmp_path, capsys):
                       "--output", f"{base}/core"])
     assert d["best_density"] > 0
     assert spark.read.parquet(f"{base}/core").count() > 0
+
+
+def test_cli_wave3_and_subcommands(spark, tmp_path, capsys):
+    """CLI dispatch for the wave-3 additions: dyad-census, topk-cap,
+    feature-prop, plus the compact and pairs subcommands."""
+    base = str(tmp_path)
+    t = synth_transcripts(spark, n_convs=20, seed=31)
+    t.write.parquet(f"{base}/tr")
+    edges = extract_edges(t).select("src", "dst", "weight")
+    edges.write.parquet(f"{base}/edges")
+
+    _run(capsys, ["--edges", f"{base}/edges", "--algorithm", "dyad-census",
+                  "--output", f"{base}/dyads"])
+    dy = spark.read.parquet(f"{base}/dyads").collect()[0]
+    assert dy.edges > 0 and 0.0 <= dy.reciprocity <= 1.0
+
+    _run(capsys, ["--edges", f"{base}/edges", "--algorithm", "topk-cap",
+                  "--topk", "2", "--output", f"{base}/capped"])
+    capped = spark.read.parquet(f"{base}/capped")
+    assert capped.groupBy("src").count().agg(
+        F.max("count")
+    ).collect()[0][0] <= 2
+
+    verts = (
+        edges.select(F.col("src").alias("v_id"))
+        .union(edges.select(F.col("dst").alias("v_id")))
+        .distinct()
+        .select("v_id", F.array(F.lit(1.0), F.lit(2.0)).alias("emb"))
+    )
+    verts.write.parquet(f"{base}/feats")
+    _run(capsys, ["--edges", f"{base}/edges", "--algorithm", "feature-prop",
+                  "--features", f"{base}/feats", "--prop-rounds", "1",
+                  "--output", f"{base}/smoothed"])
+    sm = spark.read.parquet(f"{base}/smoothed")
+    # constant features are a fixpoint of the damped averaging
+    assert sm.where(F.col("emb") != F.array(F.lit(1.0), F.lit(2.0))).count() == 0
+
+    from cminer_spark.__main__ import main as cli_main
+
+    rc = cli_main(["compact", f"{base}/edges", "--target-file-mb", "512"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] <= out["files_before"]
+
+    rc = cli_main(["pairs", "--transcripts", f"{base}/tr",
+                   "--history", "2", "--output", f"{base}/pairs"])
+    assert rc == 0
+    pairs = spark.read.parquet(f"{base}/pairs")
+    assert pairs.count() > 0
+    assert set(pairs.columns) == {
+        "conv_id", "turn_idx", "n_context_turns", "context", "response"
+    }

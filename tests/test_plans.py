@@ -122,3 +122,46 @@ def test_pregel_message_join_is_shuffle_hash(spark):
     )
     plan = _plan(msgs.groupBy("v_id").agg(F.min("m").alias("mn")))
     assert "SortMergeJoin" not in plan
+
+
+def test_training_pairs_single_exchange(spark):
+    """Dialogue pair assembly pays exactly ONE hash shuffle (conv_id):
+    the bounded window and the concat all ride the same exchange."""
+    from cminer_spark.pipeline.dialogs import build_training_pairs
+
+    tr = spark.createDataFrame(
+        [("c", 0, "user", "a"), ("c", 1, "assistant", "b")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(build_training_pairs(tr, history=3))
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(conv_id" in plan
+    assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_topk_cap_no_self_join(spark):
+    """Top-k capping is collapse + window — never a self-join, and the
+    window rides the aggregate's partitioning (no extra exchange pair
+    beyond the aggregate + window requirement)."""
+    from cminer_spark.operators import topk_out_edges
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.0)], "src long, dst long, weight double"
+    )
+    plan = _plan(topk_out_edges(e, k=2))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_propagation_round_uses_shuffle_hash(spark):
+    """The propagation round's adjacency-state join must stay
+    shuffle-hash (the same superstep contract as PageRank/CC)."""
+    from cminer_spark.operators import propagate_features
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    f0 = spark.createDataFrame(
+        [(1, [1.0]), (2, [2.0]), (3, [3.0])], "v_id long, emb array<double>"
+    )
+    plan = _plan(propagate_features(e, f0, rounds=1))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -127,3 +127,34 @@ def test_bucketed_transcripts_extraction_no_exchange(spark):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_tr_test")
+
+
+def test_compact_table_shrinks_files_preserving_rows(spark, tmp_path):
+    from cminer_spark.sources.tables import compact_table, table_file_stats
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(16).write.parquet(path)
+    before = table_file_stats(spark, path)
+    assert before["n_files"] == 16
+
+    stats = compact_table(spark, path, target_file_mb=256)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert set(back.columns) == {"id", "k"}
+    assert back.agg({"id": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+    # compaction is idempotent
+    again = compact_table(spark, path, target_file_mb=256)
+    assert again["files_after"] == 1
+
+
+def test_compact_table_rejects_catalog_refs(spark, tmp_path):
+    from cminer_spark.sources.tables import compact_table, table_file_stats
+
+    with pytest.raises(NotImplementedError):
+        compact_table(spark, "iceberg:cat.db.t")
+    with pytest.raises(NotImplementedError):
+        table_file_stats(spark, "table:whatever")
