@@ -1678,6 +1678,117 @@ GROUP BY doc_id
 """
 
 
+MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIXTURE_TOKENS = 2000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture selection — the bucketed threshold path
+    must equal the oracle's naive per-domain cumulative window."""
+    from cminer_spark.pipeline.mixture import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir),
+        MIXTURE_WEIGHTS,
+        MIXTURE_TOKENS,
+        domain_col="source",
+        seed=SPLIT_SEED,
+    )
+
+
+def mixture_oracle_sql(
+    weights=None, total_tokens=MIXTURE_TOKENS, seed=SPLIT_SEED
+) -> str:
+    """Naive form of pipeline.mixture.mixture_sample: one cumulative
+    window per domain over the md5 selection order; keep rows whose
+    EXCLUSIVE token prefix < the domain's target."""
+    weights = weights or MIXTURE_WEIGHTS
+    h = _SPLIT_HASH_SQL.format(seed=seed)
+    wsum = float(sum(weights.values()))
+    vals = ", ".join(
+        f"('{d}', {float(total_tokens) * float(w) / wsum!r})"
+        for d, w in sorted(weights.items())
+    )
+    return f"""
+WITH tgt(source, target) AS (VALUES {vals}),
+base AS (
+  SELECT doc_id, d.source, t.target,
+         CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS n_tokens,
+         {h} AS h
+  FROM documents d JOIN tgt t USING (source)
+),
+c AS (
+  SELECT doc_id, source, n_tokens, target,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl,
+         row_number() OVER (
+           PARTITION BY source ORDER BY h ASC, doc_id ASC) AS sel_rank
+  FROM base
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sel_rank AS BIGINT) AS sel_rank
+FROM c WHERE excl < target
+"""
+
+
+BPE_TOP_K = 40
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.vocab import bpe_pair_counts
+
+    out = bpe_pair_counts(_docs(spark, sf_dir), top_k=BPE_TOP_K)
+    return out.select(
+        "pair",
+        F.col("n").cast("long").alias("n"),
+        F.col("pair_rank").cast("long").alias("pair_rank"),
+    )
+
+
+def bpe_oracle_sql(k=BPE_TOP_K) -> str:
+    """Mirror of pipeline.vocab.bpe_pair_counts: word-frequency table,
+    overlapping adjacent char pairs off distinct words, frequency-
+    weighted counts, deterministic top-k."""
+    return f"""
+WITH w AS (
+  SELECT t AS word, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), ' +')) AS t
+    FROM documents
+  ) WHERE t <> '' GROUP BY t
+),
+p AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, c
+  FROM (SELECT word, c, unnest(generate_series(1, len(word) - 1)) AS i
+        FROM w WHERE len(word) >= 2)
+)
+SELECT pair, n, pair_rank FROM (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY sum(c) DESC, pair ASC) AS pair_rank
+  FROM p GROUP BY pair
+) WHERE pair_rank <= {k}
+"""
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.textstats import length_percentiles
+
+    out = length_percentiles(_docs(spark, sf_dir), group_col="lang")
+    return out.select(
+        "lang", F.col("n_docs").cast("long").alias("n_docs"),
+        "p50", "p90", "p99",
+    )
+
+
+LENGTH_PCTL_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1717,6 +1828,9 @@ def queries():
         "strip_dup_spans": q_strip_dup_spans,
         "quantize_int8": q_quantize_int8,
         "random_projection": q_random_projection,
+        "mixture_sample": q_mixture_sample,
+        "bpe_pairs": q_bpe_pairs,
+        "length_percentiles": q_length_percentiles,
     }
 
 
@@ -1761,4 +1875,7 @@ def oracles():
         "strip_dup_spans": strip_spans_oracle_sql(),
         "quantize_int8": QUANTIZE_SQL,
         "random_projection": projection_oracle_sql(),
+        "mixture_sample": mixture_oracle_sql(),
+        "bpe_pairs": bpe_oracle_sql(),
+        "length_percentiles": LENGTH_PCTL_SQL,
     }

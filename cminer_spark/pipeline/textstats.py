@@ -377,3 +377,35 @@ def unigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("logprob_per_token"),
     )
+
+
+def length_percentiles(
+    docs: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group document-length distribution: ``(group, n_docs,
+    p<NN>...)`` — the corpus-report numbers behind truncation / length
+    filtering decisions.
+
+    ``exact=True`` uses ``percentile`` (linear interpolation on the
+    sorted values — identical to DuckDB ``quantile_cont``, gate
+    ``length_percentiles``); it buffers each group's values in its
+    reducer, which is fine for the bounded-cardinality report grain
+    (languages, sources) but NOT for high-cardinality groups at
+    100 TB — there ``exact=False`` switches to ``percentile_approx``
+    (GK-sketch, fixed memory per group, mergeable map-side), same
+    schema.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    arr = ", ".join(repr(float(p)) for p in percentiles)
+    agg = F.expr(f"{fn}({value_col}, array({arr}))")
+    cols = [
+        F.round(F.get(agg, i), 6).alias(f"p{int(p * 100):02d}")
+        for i, p in enumerate(percentiles)
+    ]
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), *cols
+    )
