@@ -1181,10 +1181,23 @@ _DRIVER_WINDOW: list[str] = [
     "feature_propagation",
     "topk_out_edges",
     "training_pairs",
-    # span_dup_stats rotated just below the fold this round (its
-    # machinery is driver-checked via duplicate_spans/strip_dup_spans;
-    # the local all-gate mirror still covers it every pytest run)
+    # --- 50-entry fold is here ---
+    # Round-5 rotation plan: promote everything between this line and
+    # the family representatives (all green in the local mirror but
+    # never driver-checked: span_dup_stats, the r4 late wave
+    # mixture_sample/bpe_pairs/length_percentiles/nb_classify/nb_eval/
+    # bigram_logprob/pca_top_pc/pca_remove_top, and the r2-green-but-
+    # dark-since minhash_lsh_candidates..doc_fingerprint block), and
+    # keep whatever r4 rows came back red at the top.
     "span_dup_stats",
+    "mixture_sample",
+    "bpe_pairs",
+    "length_percentiles",
+    "nb_classify",
+    "nb_eval",
+    "bigram_logprob",
+    "pca_top_pc",
+    "pca_remove_top",
     # (c) green in r2, dark in r3 — the first 4 now fall below the
     # 50-entry fold (rotate back next round)
     "minhash_lsh_candidates",

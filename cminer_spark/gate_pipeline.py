@@ -9,6 +9,8 @@ BIGINT on the Spark side to match DuckDB's count/length types.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1789,6 +1791,237 @@ FROM documents GROUP BY lang
 """
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/fastText-style quality classification: multinomial NB
+    trained on the lang labels, scoring the same corpus. The bucketed
+    broadcast-join scorer must equal the oracle's naive dense grid."""
+    from cminer_spark.pipeline.classifier import classify_corpus
+
+    return classify_corpus(_docs(spark, sf_dir), label_col="lang")
+
+
+# Mirror of pipeline.classifier: add-one-smoothing multinomial NB,
+# rounded per-(doc,label) log posterior, deterministic argmax (rounded
+# score desc, label asc), margin to runner-up off the ROUNDED scores.
+NB_CLASSIFY_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang AS label, t
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), ' +')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+counts AS (SELECT label, t, count(*) AS c FROM toks GROUP BY label, t),
+vocab AS (SELECT count(DISTINCT t) AS v FROM counts),
+totals AS (
+  SELECT label, sum(c) AS t_l, any_value(v) AS v
+  FROM counts CROSS JOIN vocab GROUP BY label
+),
+priors AS (
+  SELECT lang AS label,
+         ln(count(*) * 1.0 / (SELECT count(*) FROM documents)) AS ln_prior
+  FROM documents GROUP BY lang
+),
+model AS (
+  SELECT c.label, c.t, ln((c.c + 1.0) / (tt.t_l + tt.v)) AS loglik
+  FROM counts c JOIN totals tt USING (label)
+),
+dt AS (SELECT doc_id, t, count(*) AS n FROM toks GROUP BY doc_id, t),
+scored AS (
+  SELECT dt.doc_id, tt.label,
+         round(sum(dt.n * coalesce(m.loglik, ln(1.0 / (tt.t_l + tt.v))))
+               + any_value(p.ln_prior), 6) AS score
+  FROM dt
+  CROSS JOIN totals tt
+  LEFT JOIN model m ON m.label = tt.label AND m.t = dt.t
+  JOIN priors p ON p.label = tt.label
+  GROUP BY dt.doc_id, tt.label
+),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rk,
+         lead(score) OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, label ASC) AS nxt
+  FROM scored
+)
+SELECT doc_id, label AS pred_label, score,
+       round(coalesce(score - nxt, 0.0), 6) AS margin
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_nb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/f1 of the NB classifier against the
+    true labels — the evaluation leg of classify-then-filter."""
+    from cminer_spark.pipeline.classifier import (
+        classify_corpus,
+        evaluate_predictions,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pred = classify_corpus(docs, label_col="lang")
+    return evaluate_predictions(pred, docs, truth_col="lang")
+
+
+NB_EVAL_SQL = f"""
+WITH pred AS ({NB_CLASSIFY_SQL}),
+j AS (
+  SELECT d.lang AS t, p.pred_label AS pr
+  FROM documents d JOIN pred p USING (doc_id)
+),
+conf AS (SELECT t, pr, count(*) AS n FROM j GROUP BY t, pr),
+bt AS (SELECT t AS label, sum(n) AS n_true FROM conf GROUP BY t),
+bp AS (SELECT pr AS label, sum(n) AS n_pred FROM conf GROUP BY pr),
+tpc AS (SELECT t AS label, n AS tp FROM conf WHERE t = pr),
+rep AS (
+  SELECT coalesce(bt.label, bp.label) AS label,
+         CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+         CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(coalesce(tp, 0) AS BIGINT) AS tp
+  FROM bt FULL JOIN bp ON bt.label = bp.label
+  LEFT JOIN tpc ON coalesce(bt.label, bp.label) = tpc.label
+),
+m AS (
+  SELECT label, n_true, n_pred, tp,
+         CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END AS prec,
+         CASE WHEN n_true > 0 THEN tp * 1.0 / n_true ELSE 0.0 END AS rec
+  FROM rep
+)
+SELECT label, n_true, n_pred, tp,
+       round(prec, 6) AS precision,
+       round(rec, 6) AS recall,
+       round(CASE WHEN prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
+FROM m
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark.pipeline.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+# Mirror of pipeline.textstats.bigram_logprob: Laplace-smoothed
+# P(w2|w1) trained on the scored corpus itself; docs with <2 tokens
+# have no bigram rows.
+BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), ' +') AS l FROM documents
+),
+pairs AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM toks WHERE len(l) >= 2)
+),
+uni AS (
+  SELECT t, count(*) AS cu
+  FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t
+),
+v AS (SELECT count(*) AS v FROM uni),
+bi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(ln((coalesce(cb, 0) + 1.0) / (u.cu + v.v))), 6)
+         AS logprob_per_pair
+FROM pairs p
+LEFT JOIN bi USING (w1, w2)
+JOIN uni u ON u.t = p.w1
+CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+PCA_DIM = 64  # testdata embeddings are 64-d at every sf
+PCA_ITERS = 3
+
+
+def q_pca_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row projection onto the power-iteration top principal
+    direction — driver-side normalize must equal the oracle's
+    in-query normalize (same double trajectory, final 6 dp round)."""
+    from cminer_spark.pipeline.pca import power_iteration_top_pc
+
+    _, proj = power_iteration_top_pc(_embs(spark, sf_dir), iters=PCA_ITERS)
+    return proj
+
+
+def q_pca_remove_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual L2 norm after ABTT-style top-component removal."""
+    from cminer_spark.pipeline.pca import power_iteration_top_pc, remove_top_pc
+
+    embs = _embs(spark, sf_dir)
+    v, _ = power_iteration_top_pc(embs, iters=PCA_ITERS)
+    res = remove_top_pc(embs, v)
+    return res.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ).alias("res_norm"),
+    )
+
+
+def _pca_dot_sql(vec_expr: str, v_cols: list[str]) -> str:
+    """Left-assoc unrolled dot product (matches the Spark chain)."""
+    return " + ".join(
+        f"CAST({vec_expr}[{j + 1}] AS DOUBLE) * {v_cols[j]}"
+        for j in range(len(v_cols))
+    )
+
+
+def pca_oracle_sql(remove: bool = False, d: int = PCA_DIM, k: int = PCA_ITERS) -> str:
+    """Unrolled power iteration: v0 = 1/sqrt(d)·1; per step one
+    matrix-vector aggregate + in-query normalize; final projection
+    (or residual norm) rounded to 6 dp."""
+    v0 = repr(1.0 / math.sqrt(d))
+    parts = [
+        "WITH em AS (SELECT vec_id, embedding AS e FROM embeddings),",
+        f"v0 AS (SELECT {', '.join(f'{v0} AS c{j}' for j in range(d))}),",
+    ]
+    for i in range(1, k + 1):
+        prev = [f"v.c{j}" for j in range(d)]
+        dot = _pca_dot_sql("em.e", prev)
+        sums = ", ".join(
+            f"sum(CAST(em.e[{j + 1}] AS DOUBLE) * s.s) AS u{j}" for j in range(d)
+        )
+        norm = " + ".join(f"u{j} * u{j}" for j in range(d))
+        vcols = ", ".join(f"u{j} / nrm AS c{j}" for j in range(d))
+        parts.append(
+            f"s{i} AS (SELECT em.vec_id, {dot} AS s FROM em CROSS JOIN v{i-1} v),"
+            f"u{i} AS (SELECT {sums} FROM em JOIN s{i} s USING (vec_id)),"
+            f"v{i} AS (SELECT {vcols} FROM (SELECT *, sqrt({norm}) AS nrm FROM u{i})),"
+        )
+    final_dot = _pca_dot_sql("em.e", [f"v.c{j}" for j in range(d)])
+    if not remove:
+        parts.append(
+            f"fin AS (SELECT em.vec_id, round({final_dot}, 6) AS proj "
+            f"FROM em CROSS JOIN v{k} v) SELECT * FROM fin"
+        )
+    else:
+        # residual element r_j = e_j - s*v_j; norm via the same
+        # left-assoc fold Spark's F.aggregate produces (0.0 + r0² + …)
+        res_sq = " + ".join(
+            f"(CAST(em.e[{j + 1}] AS DOUBLE) - s.s * v.c{j})"
+            f" * (CAST(em.e[{j + 1}] AS DOUBLE) - s.s * v.c{j})"
+            for j in range(d)
+        )
+        parts.append(
+            f"sf AS (SELECT em.vec_id, {final_dot} AS s "
+            f"FROM em CROSS JOIN v{k} v),"
+            f"fin AS (SELECT em.vec_id, round(sqrt(0.0 + {res_sq}), 6) AS res_norm "
+            f"FROM em JOIN sf s USING (vec_id) CROSS JOIN v{k} v) "
+            "SELECT * FROM fin"
+        )
+    return "\n".join(parts)
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -1831,6 +2064,11 @@ def queries():
         "mixture_sample": q_mixture_sample,
         "bpe_pairs": q_bpe_pairs,
         "length_percentiles": q_length_percentiles,
+        "nb_classify": q_nb_classify,
+        "nb_eval": q_nb_eval,
+        "bigram_logprob": q_bigram_logprob,
+        "pca_top_pc": q_pca_top_pc,
+        "pca_remove_top": q_pca_remove_top,
     }
 
 
@@ -1878,4 +2116,9 @@ def oracles():
         "mixture_sample": mixture_oracle_sql(),
         "bpe_pairs": bpe_oracle_sql(),
         "length_percentiles": LENGTH_PCTL_SQL,
+        "nb_classify": NB_CLASSIFY_SQL,
+        "nb_eval": NB_EVAL_SQL,
+        "bigram_logprob": BIGRAM_SQL,
+        "pca_top_pc": pca_oracle_sql(remove=False),
+        "pca_remove_top": pca_oracle_sql(remove=True),
     }

@@ -35,7 +35,15 @@ from cminer_spark.pipeline.spans import (
     strip_duplicate_spans,
 )
 from cminer_spark.pipeline.ranking import bm25_search, tfidf_top_terms
+from cminer_spark.pipeline.classifier import (
+    classify_corpus,
+    evaluate_predictions,
+    score_naive_bayes,
+    train_naive_bayes,
+)
+from cminer_spark.pipeline.pca import power_iteration_top_pc, remove_top_pc
 from cminer_spark.pipeline.textstats import (
+    bigram_logprob,
     gopher_quality_filters,
     unigram_logprob,
     doc_fingerprint,
@@ -46,6 +54,13 @@ from cminer_spark.pipeline.textstats import (
 )
 
 __all__ = [
+    "classify_corpus",
+    "evaluate_predictions",
+    "score_naive_bayes",
+    "train_naive_bayes",
+    "bigram_logprob",
+    "power_iteration_top_pc",
+    "remove_top_pc",
     "dedup_clusters",
     "exact_duplicates",
     "minhash_signatures",

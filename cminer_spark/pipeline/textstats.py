@@ -409,3 +409,73 @@ def length_percentiles(
     return docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"), *cols
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy scoring, bigram order: per-document mean
+    ``ln P(w_i | w_{i-1})`` under a Laplace-smoothed bigram model
+    trained on ``corpus`` (the scored table itself by default) —
+    ``(doc_id, n_pairs, logprob_per_pair)``. The next step up from
+    :func:`unigram_logprob` toward KenLM-style LM filtering: word
+    order now matters, so shuffled/boilerplate text scores lower than
+    its unigram profile suggests.
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with unigram count
+    ``c(w1)`` and shared vocab size ``V``. Unseen pairs hit the
+    ``c(w1,w2)=0`` smoothing floor. Documents with fewer than two
+    tokens have no bigrams and are absent from the output.
+
+    Plan shape: adjacent pairs are built IN-ARRAY (``slice`` +
+    ``arrays_zip`` — no window, no per-row Python, order preserved by
+    construction) then exploded; model counts are two combinable
+    aggregates; scoring is two equi-joins back onto the pair stream
+    (AQE broadcasts the unigram side when small; the bigram table
+    joins by key and is never collected). ``V`` is one driver scalar
+    (convergence-probe convention). Scores round to 6 dp for the
+    engine-portable gate ``bigram_logprob``.
+    """
+    train = corpus if corpus is not None else docs
+
+    def _pairs(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.split(F.lower(F.col(text_col)), " +")
+        n = F.size(toks)
+        zipped = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        )
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        return frame.select(*cols, F.explode(zipped).alias("p")).select(
+            *(["doc_id"] if with_id else []),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+
+    corpus_toks = train.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("t")
+    )
+    uni = corpus_toks.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    v = float(uni.count())
+    bi = _pairs(train, with_id=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    scored = (
+        _pairs(docs, with_id=True)
+        .join(bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("t").alias("w1"), "cu"), "w1", "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(v))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("lp"), 6).alias("logprob_per_pair"),
+    )
