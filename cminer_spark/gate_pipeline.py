@@ -1932,6 +1932,60 @@ GROUP BY doc_id
 """
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: docs with doc_id % 5 == 0 play
+    the daily delta, the rest the existing corpus; survivors =
+    delta docs with no verified near-dup on the existing side."""
+    from cminer_spark.pipeline.dedup import dedup_against
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    return dedup_against(
+        existing,
+        new,
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+    )
+
+
+def dedup_against_oracle_sql() -> str:
+    """Banding is per-document, so one bandrows CTE over ALL docs with
+    the % 5 split applied at the cross-join mirrors the two-sided
+    Spark banding exactly."""
+    return f"""
+WITH {_lsh_ctes()},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
+  FROM bandrows x JOIN bandrows y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+  GROUP BY x.doc_id, y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+dups AS (
+  SELECT DISTINCT i.b
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= {JACCARD_THRESHOLD}
+),
+nc AS (SELECT b AS doc_id, count(*) AS n FROM cand GROUP BY b)
+SELECT d.doc_id,
+       CAST(coalesce(nc.n, 0) AS BIGINT) AS n_lsh_candidates
+FROM documents d LEFT JOIN nc USING (doc_id)
+WHERE d.doc_id % 5 = 0 AND d.doc_id NOT IN (SELECT b FROM dups)
+"""
+
+
 PCA_DIM = 64  # testdata embeddings are 64-d at every sf
 PCA_ITERS = 3
 
@@ -2069,6 +2123,7 @@ def queries():
         "bigram_logprob": q_bigram_logprob,
         "pca_top_pc": q_pca_top_pc,
         "pca_remove_top": q_pca_remove_top,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -2121,4 +2176,5 @@ def oracles():
         "bigram_logprob": BIGRAM_SQL,
         "pca_top_pc": pca_oracle_sql(remove=False),
         "pca_remove_top": pca_oracle_sql(remove=True),
+        "dedup_against": dedup_against_oracle_sql(),
     }

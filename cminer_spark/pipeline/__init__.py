@@ -1,6 +1,8 @@
 from cminer_spark.pipeline.dedup import (
+    dedup_against,
     dedup_clusters,
     exact_duplicates,
+    lsh_candidates_against,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -55,6 +57,8 @@ from cminer_spark.pipeline.textstats import (
 
 __all__ = [
     "classify_corpus",
+    "dedup_against",
+    "lsh_candidates_against",
     "evaluate_predictions",
     "score_naive_bayes",
     "train_naive_bayes",

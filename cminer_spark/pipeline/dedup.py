@@ -524,3 +524,114 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("v_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def lsh_candidates_against(
+    existing: DataFrame,
+    new: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+    broadcast_delta: bool = False,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: ``(existing_id, new_id, n_bands)``
+    where a NEW document shares ≥1 MinHash band with an EXISTING one.
+
+    The incremental daily-ingest dedup path: only the delta is
+    shingled/banded fresh, and the join stays an equi-join on
+    ``(band_idx, band_hash)`` — new×new and existing×existing pairs
+    are never generated. MinHash signatures are per-document, so
+    banding each side separately is exact (no corpus-level state). At
+    petabyte scale, persist the existing side's band table once
+    (append-only) and pass ``broadcast_delta=True`` when the delta's
+    band rows fit in memory — the existing corpus is then never
+    shuffled at all (same design as the incremental CC/triangle
+    family).
+    """
+    be = _minhash_banded(
+        existing, num_hashes, bands, n, id_col, text_col, hash_family
+    ).select(F.col("doc_id").alias("existing_id"), "band_idx", "band_hash")
+    bn = _minhash_banded(
+        new, num_hashes, bands, n, id_col, text_col, hash_family
+    ).select(F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
+    if broadcast_delta:
+        bn = F.broadcast(bn)
+    return (
+        be.join(bn, ["band_idx", "band_hash"])
+        .groupBy("existing_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def dedup_against(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+    broadcast_delta: bool = False,
+) -> DataFrame:
+    """New documents that survive cross-corpus near-dup filtering:
+    ``(doc_id, n_lsh_candidates)`` — the delta rows admitted into the
+    corpus after LSH candidate generation + exact shingle-Jaccard
+    verification against the existing side (a new doc is dropped iff
+    some existing doc verifies at ``jaccard >= threshold``).
+
+    Verification joins shingle sets ONLY for candidate pairs (semi-
+    joined to the candidate ids), mirroring :func:`dedup_clusters`'s
+    verify stage; survivors come back via one anti-join, so the
+    existing corpus is touched exactly once (banding) plus candidate
+    shingles.
+    """
+    cands = lsh_candidates_against(
+        existing, new, num_hashes, bands, n, id_col, text_col,
+        hash_family, broadcast_delta,
+    )
+    she = existing.select(
+        F.col(id_col).alias("existing_id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    ).join(cands.select("existing_id").distinct(), "existing_id", "semi")
+    shn = new.select(
+        F.col(id_col).alias("new_id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    ).join(cands.select("new_id").distinct(), "new_id", "semi")
+    sizes_e = she.groupBy("existing_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_n = shn.groupBy("new_id").agg(F.count(F.lit(1)).alias("nb"))
+    # equi-join on (new_id, s): only matching shingles materialize
+    inter = (
+        cands.join(she, "existing_id")
+        .join(shn, ["new_id", "s"])
+        .groupBy("existing_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    dups = (
+        inter.join(sizes_e, "existing_id")
+        .join(sizes_n, "new_id")
+        .where(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= threshold
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    n_cands = cands.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh_candidates")
+    )
+    return (
+        new.select(F.col(id_col).alias("doc_id"))
+        .join(dups, "doc_id", "anti")
+        .join(n_cands, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lsh_candidates", F.lit(0)).cast("long").alias(
+                "n_lsh_candidates"
+            ),
+        )
+    )
