@@ -1198,6 +1198,8 @@ _DRIVER_WINDOW: list[str] = [
     "bigram_logprob",
     "pca_top_pc",
     "pca_remove_top",
+    "dedup_against",
+    "retention_weekly",
     # (c) green in r2, dark in r3 — the first 4 now fall below the
     # 50-entry fold (rotate back next round)
     "minhash_lsh_candidates",

@@ -17,6 +17,7 @@ from cminer_spark.operators.temporal import (
     _unix_micros,
     asof_join,
     funnel,
+    retention_cohorts,
     sessionize,
 )
 
@@ -229,6 +230,7 @@ def queries():
         "funnel_signup_view_purchase": q_funnel,
         "event_cooccurrence": q_cooccurrence,
         "temporal_reach_k2": q_temporal_reach,
+        "retention_weekly": q_retention,
     }
 
 
@@ -280,6 +282,39 @@ SELECT source, node, arrive_ts, hops FROM (
 """
 
 
+RETENTION_PERIOD_SECONDS = 7 * 86400
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(
+        _events(spark, sf_dir), period_seconds=RETENTION_PERIOD_SECONDS
+    )
+
+
+def retention_oracle_sql(period_seconds: int = RETENTION_PERIOD_SECONDS) -> str:
+    """Mirror of operators.temporal.retention_cohorts: integer period
+    index floor(epoch_us / period_us), cohort = min period per user."""
+    per_us = period_seconds * 1_000_000
+    return f"""
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch_us(ts) / {per_us}) AS BIGINT) AS per
+  FROM events
+),
+coh AS (SELECT u, min(per) AS cohort FROM act GROUP BY u),
+sizes AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY cohort),
+grid AS (
+  SELECT c.cohort, a.per - c.cohort AS period_offset, count(*) AS n_active
+  FROM act a JOIN coh c USING (u) GROUP BY 1, 2
+)
+SELECT g.cohort, g.period_offset,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       CAST(g.n_active AS BIGINT) AS n_active,
+       round(g.n_active * 1.0 / s.n_cohort, 6) AS retention
+FROM grid g JOIN sizes s USING (cohort)
+"""
+
+
 def oracles():
     return {
         "sessionize_30m": sessionize_oracle_sql(),
@@ -287,4 +322,5 @@ def oracles():
         "funnel_signup_view_purchase": funnel_oracle_sql(),
         "event_cooccurrence": COOCCURRENCE_SQL,
         "temporal_reach_k2": reach_oracle_sql(),
+        "retention_weekly": retention_oracle_sql(),
     }

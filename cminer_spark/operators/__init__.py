@@ -56,6 +56,7 @@ from cminer_spark.operators.temporal import (
     asof_join,
     funnel,
     sessionize,
+    retention_cohorts,
     temporal_reachability,
 )
 from cminer_spark.operators.anf import (
@@ -115,6 +116,7 @@ __all__ = [
     "wl_colors",
     "wl_fingerprints",
     "sessionize",
+    "retention_cohorts",
     "temporal_reachability",
     "asof_join",
     "funnel",

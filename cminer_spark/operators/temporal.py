@@ -284,3 +284,51 @@ def temporal_reachability(
             F.col("best.hops").alias("hops"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention grid: ``(cohort, period_offset, n_cohort,
+    n_active, retention)`` — users are cohorted by the period of their
+    FIRST event, and ``retention`` is the fraction of each cohort
+    active ``period_offset`` periods later (offset 0 is 1.0 by
+    construction).
+
+    Periods are integer indexes ``floor(epoch_us / period_us)`` —
+    deterministic integer math, no calendar/week-start/timezone
+    conventions to disagree on across engines (gate
+    ``retention_weekly`` compares exact int64 cohort keys).
+
+    Plan shape (scales to 10¹²-event logs): one distinct-(user,
+    period) aggregate, one per-user MIN (both combinable map-side),
+    one user-keyed join to tag activity with its cohort, one
+    (cohort, offset) count. Cohort keys are low-cardinality; the only
+    per-user shuffles are uniform on user id.
+    """
+    per_us = int(period_seconds) * 1_000_000
+    p = F.floor(_unix_micros(F.col(ts_col)) / F.lit(per_us)).cast("long")
+    act = events.select(F.col(user_col).alias("u"), p.alias("per")).distinct()
+    cohorts = act.groupBy("u").agg(F.min("per").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    grid = (
+        act.join(cohorts, "u")
+        .select(
+            "cohort",
+            (F.col("per") - F.col("cohort")).alias("period_offset"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return grid.join(sizes, "cohort").select(
+        "cohort",
+        "period_offset",
+        F.col("n_cohort").cast("long").alias("n_cohort"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
