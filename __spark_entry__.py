@@ -1200,6 +1200,7 @@ _DRIVER_WINDOW: list[str] = [
     "pca_remove_top",
     "dedup_against",
     "retention_weekly",
+    "conv_filter",
     # (c) green in r2, dark in r3 — the first 4 now fall below the
     # 50-entry fold (rotate back next round)
     "minhash_lsh_candidates",

@@ -1932,6 +1932,73 @@ GROUP BY doc_id
 """
 
 
+CONV_MIN_TURNS = 3
+CONV_MAX_TURNS = 100
+CONV_MAX_BREAKS = 5
+
+
+def q_conv_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialog-level quality gate over the transcript view: stats +
+    keep flag + first-failed rule per conversation."""
+    from cminer_spark import gate
+    from cminer_spark.pipeline.dialogs import filter_conversations
+
+    tr = gate.transcripts_df(spark, sf_dir)
+    return filter_conversations(
+        tr,
+        min_turns=CONV_MIN_TURNS,
+        max_turns=CONV_MAX_TURNS,
+        max_alternation_breaks=CONV_MAX_BREAKS,
+    )
+
+
+def conv_filter_oracle_sql() -> str:
+    from cminer_spark import gate
+
+    return f"""
+WITH {gate.TRANSCRIPTS_CTE},
+t AS (
+  SELECT conv_id, role, len(coalesce(text, '')) AS chars,
+         (lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role)
+           AS brk
+  FROM tr
+),
+st AS (
+  SELECT conv_id,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_user_turns,
+    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_assistant_turns,
+    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tool_turns,
+    CAST(sum(CASE WHEN coalesce(brk, false) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_alternation_breaks,
+    CAST(sum(CASE WHEN role = 'user' THEN chars ELSE 0 END) AS BIGINT)
+      AS user_chars,
+    CAST(sum(CASE WHEN role = 'assistant' THEN chars ELSE 0 END) AS BIGINT)
+      AS assistant_chars
+  FROM t GROUP BY conv_id
+),
+r AS (
+  SELECT *,
+    round(CASE WHEN user_chars > 0
+               THEN assistant_chars * 1.0 / user_chars ELSE 0.0 END, 6)
+      AS assistant_char_ratio,
+    CASE WHEN n_turns < {CONV_MIN_TURNS} THEN 'too_short'
+         WHEN n_turns > {CONV_MAX_TURNS} THEN 'too_long'
+         WHEN n_assistant_turns < 1 THEN 'no_assistant'
+         WHEN n_alternation_breaks > {CONV_MAX_BREAKS} THEN 'alternation'
+         END AS fail_reason
+  FROM st
+)
+SELECT conv_id, n_turns, n_user_turns, n_assistant_turns, n_tool_turns,
+       n_alternation_breaks, user_chars, assistant_chars,
+       assistant_char_ratio, fail_reason IS NULL AS keep, fail_reason
+FROM r
+"""
+
+
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup: docs with doc_id % 5 == 0 play
     the daily delta, the rest the existing corpus; survivors =
@@ -2124,6 +2191,7 @@ def queries():
         "pca_top_pc": q_pca_top_pc,
         "pca_remove_top": q_pca_remove_top,
         "dedup_against": q_dedup_against,
+        "conv_filter": q_conv_filter,
     }
 
 
@@ -2177,4 +2245,5 @@ def oracles():
         "pca_top_pc": pca_oracle_sql(remove=False),
         "pca_remove_top": pca_oracle_sql(remove=True),
         "dedup_against": dedup_against_oracle_sql(),
+        "conv_filter": conv_filter_oracle_sql(),
     }

@@ -30,6 +30,11 @@ from cminer_spark.pipeline.curation import (
     split_hash,
 )
 from cminer_spark.pipeline.chunking import chunk_documents
+from cminer_spark.pipeline.dialogs import (
+    build_training_pairs,
+    conversation_stats,
+    filter_conversations,
+)
 from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.spans import (
     duplicate_spans,
@@ -93,6 +98,9 @@ __all__ = [
     "decontaminate",
     "gopher_quality_filters",
     "chunk_documents",
+    "build_training_pairs",
+    "conversation_stats",
+    "filter_conversations",
     "kmeans",
     "line_dedup",
     "duplicate_spans",

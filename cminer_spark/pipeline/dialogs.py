@@ -73,3 +73,90 @@ def build_training_pairs(
         ).alias("context"),
         "response",
     )
+
+
+def conversation_stats(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation structural stats: ``(conv_id, n_turns,
+    n_user_turns, n_assistant_turns, n_tool_turns,
+    n_alternation_breaks, user_chars, assistant_chars,
+    assistant_char_ratio)`` — the inputs to dialog-level quality
+    filtering (SFT corpora drop conversations that are too short,
+    never alternate, or are all-assistant boilerplate).
+
+    ``n_alternation_breaks`` counts turns whose role equals the
+    previous turn's role (stable turn order). One window pass for the
+    lag + ONE conv-keyed aggregate; both shuffle on the uniform
+    conv_id key, the same partitioning extraction uses.
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    t = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(role_col).alias("role"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("chars"),
+        (F.lag(role_col).over(w) == F.col(role_col)).alias("brk"),
+    )
+    uch = F.sum(F.when(F.col("role") == "user", F.col("chars")).otherwise(0))
+    ach = F.sum(
+        F.when(F.col("role") == "assistant", F.col("chars")).otherwise(0)
+    )
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias(
+            "n_assistant_turns"
+        ),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool_turns"),
+        F.sum(F.coalesce(F.col("brk"), F.lit(False)).cast("long")).alias(
+            "n_alternation_breaks"
+        ),
+        uch.cast("long").alias("user_chars"),
+        ach.cast("long").alias("assistant_chars"),
+        F.round(
+            F.when(uch > 0, ach.cast("double") / uch).otherwise(0.0), 6
+        ).alias("assistant_char_ratio"),
+    )
+
+
+def filter_conversations(
+    transcripts: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 512,
+    max_alternation_breaks: int | None = None,
+    min_assistant_turns: int = 1,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dialog-level quality gate: :func:`conversation_stats` plus a
+    ``keep`` flag and the FIRST failed rule in ``fail_reason``
+    (``too_short`` → ``too_long`` → ``no_assistant`` →
+    ``alternation``; null when kept) — the transcript analog of the
+    Gopher document filters. Pure column predicates over the stats
+    frame; no extra shuffle.
+    """
+    st = conversation_stats(transcripts, conv_col, turn_col, role_col, text_col)
+    reason = (
+        F.when(F.col("n_turns") < min_turns, F.lit("too_short"))
+        .when(F.col("n_turns") > max_turns, F.lit("too_long"))
+        .when(
+            F.col("n_assistant_turns") < min_assistant_turns,
+            F.lit("no_assistant"),
+        )
+    )
+    if max_alternation_breaks is not None:
+        reason = reason.when(
+            F.col("n_alternation_breaks") > max_alternation_breaks,
+            F.lit("alternation"),
+        )
+    return st.select(
+        "*",
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+    )
