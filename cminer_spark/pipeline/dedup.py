@@ -536,6 +536,7 @@ def lsh_candidates_against(
     text_col: str = "text",
     hash_family: str = "md5",
     broadcast_delta: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cross-corpus LSH candidates: ``(existing_id, new_id, n_bands)``
     where a NEW document shares ≥1 MinHash band with an EXISTING one.
@@ -550,10 +551,30 @@ def lsh_candidates_against(
     band rows fit in memory — the existing corpus is then never
     shuffled at all (same design as the incremental CC/triangle
     family).
+
+    ``max_bucket_size=N`` is the mega-bucket guard (the same hazard
+    :func:`minhash_lsh_candidates` documents, cross-corpus flavor:
+    boilerplate shared by millions of EXISTING docs meets the same
+    boilerplate in the delta → one bucket emits |E_b|·|N_b| pairs).
+    Buckets whose EXISTING side exceeds N are dropped from the join,
+    bounding output at N·|delta bands|. Lossy by design — a true dup
+    is only missed if every shared band overflows; in a dedup_against
+    composition an overflowing bucket almost always means the delta
+    doc duplicates mega-boilerplate, which exact-dedup upstream
+    catches cheaper.
     """
     be = _minhash_banded(
         existing, num_hashes, bands, n, id_col, text_col, hash_family
     ).select(F.col("doc_id").alias("existing_id"), "band_idx", "band_hash")
+    if max_bucket_size is not None:
+        sizes = be.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        be = (
+            be.join(sizes, ["band_idx", "band_hash"])
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     bn = _minhash_banded(
         new, num_hashes, bands, n, id_col, text_col, hash_family
     ).select(F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
@@ -577,6 +598,7 @@ def dedup_against(
     text_col: str = "text",
     hash_family: str = "md5",
     broadcast_delta: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """New documents that survive cross-corpus near-dup filtering:
     ``(doc_id, n_lsh_candidates)`` — the delta rows admitted into the
@@ -592,7 +614,7 @@ def dedup_against(
     """
     cands = lsh_candidates_against(
         existing, new, num_hashes, bands, n, id_col, text_col,
-        hash_family, broadcast_delta,
+        hash_family, broadcast_delta, max_bucket_size,
     )
     she = existing.select(
         F.col(id_col).alias("existing_id"),

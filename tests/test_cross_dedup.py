@@ -81,3 +81,36 @@ def test_new_new_duplicates_not_compared(spark):
     )
     out = {r["doc_id"] for r in dedup_against(existing, new).collect()}
     assert out == {100, 101}
+
+
+def test_max_bucket_size_bounds_candidates(spark):
+    """10^2 exact copies of boilerplate in the existing corpus: the
+    guard drops the mega-bucket, candidate count stays O(|delta|)
+    instead of O(copies x delta)."""
+    boiler = "standard footer text repeated across the entire web corpus"
+    existing = spark.createDataFrame(
+        [(i, boiler) for i in range(100)] + [(1000, BASE)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2000, boiler), (2001, BASE)], "doc_id long, text string"
+    )
+    unguarded = lsh_candidates_against(existing, new, num_hashes=8, bands=4)
+    guarded = lsh_candidates_against(
+        existing, new, num_hashes=8, bands=4, max_bucket_size=10
+    )
+    n_un, n_g = unguarded.count(), guarded.count()
+    assert n_un >= 100  # every boilerplate copy pairs with the delta copy
+    assert n_g == 1  # only the BASE pair survives the guard
+    pair = guarded.collect()[0]
+    assert (pair["existing_id"], pair["new_id"]) == (1000, 2001)
+    # survivors under the guard: the boilerplate delta doc is NOT
+    # verified against the capped bucket, so it sneaks in — the
+    # documented lossy trade: compose exact-dedup upstream to catch it
+    kept = {
+        r["doc_id"]
+        for r in dedup_against(
+            existing, new, num_hashes=8, bands=4, max_bucket_size=10
+        ).collect()
+    }
+    assert 2000 in kept and 2001 not in kept
