@@ -1201,6 +1201,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_against",
     "retention_weekly",
     "conv_filter",
+    "tool_transitions",
     # (c) green in r2, dark in r3 — the first 4 now fall below the
     # 50-entry fold (rotate back next round)
     "minhash_lsh_candidates",

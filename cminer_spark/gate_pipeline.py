@@ -1999,6 +1999,35 @@ FROM r
 """
 
 
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cminer_spark import gate
+    from cminer_spark.pipeline.dialogs import tool_transitions
+
+    return tool_transitions(gate.transcripts_df(spark, sf_dir))
+
+
+def tool_transitions_oracle_sql() -> str:
+    from cminer_spark import gate
+
+    return f"""
+WITH {gate.TRANSCRIPTS_CTE},
+seq AS (
+  SELECT coalesce(
+           lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx), '^'
+         ) AS prev_tool,
+         tool
+  FROM tr WHERE tool IS NOT NULL
+),
+c AS (
+  SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+  FROM seq GROUP BY prev_tool, tool
+)
+SELECT prev_tool, tool, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_tool), 6) AS p
+FROM c
+"""
+
+
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup: docs with doc_id % 5 == 0 play
     the daily delta, the rest the existing corpus; survivors =
@@ -2192,6 +2221,7 @@ def queries():
         "pca_remove_top": q_pca_remove_top,
         "dedup_against": q_dedup_against,
         "conv_filter": q_conv_filter,
+        "tool_transitions": q_tool_transitions,
     }
 
 
@@ -2246,4 +2276,5 @@ def oracles():
         "pca_remove_top": pca_oracle_sql(remove=True),
         "dedup_against": dedup_against_oracle_sql(),
         "conv_filter": conv_filter_oracle_sql(),
+        "tool_transitions": tool_transitions_oracle_sql(),
     }

@@ -34,6 +34,7 @@ from cminer_spark.pipeline.dialogs import (
     build_training_pairs,
     conversation_stats,
     filter_conversations,
+    tool_transitions,
 )
 from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.spans import (
@@ -101,6 +102,7 @@ __all__ = [
     "build_training_pairs",
     "conversation_stats",
     "filter_conversations",
+    "tool_transitions",
     "kmeans",
     "line_dedup",
     "duplicate_spans",

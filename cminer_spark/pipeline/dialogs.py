@@ -160,3 +160,53 @@ def filter_conversations(
         reason.isNull().alias("keep"),
         reason.alias("fail_reason"),
     )
+
+
+def tool_transitions(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """First-order tool-invocation Markov chain over agent
+    transcripts: ``(prev_tool, tool, n, p)`` — how often ``tool``
+    follows ``prev_tool`` within a conversation (stable turn order,
+    non-tool turns skipped), with ``p`` the row-normalized transition
+    probability. The agent-behavior analytics behind tool-routing /
+    anomaly dashboards.
+
+    Chain starts are emitted with ``prev_tool = '^'`` (so every
+    invocation appears exactly once as a destination and the per-
+    ``prev_tool`` probabilities sum to 1 over observed successors).
+
+    One conv-keyed window pass (the extraction partitioning) + one
+    low-cardinality (prev, cur) aggregate; the normalizing total rides
+    a window over the tiny aggregate, not the event stream.
+    """
+    seq = (
+        transcripts.where(F.col(tool_col).isNotNull())
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            F.col(tool_col).alias("tool"),
+        )
+        .select(
+            F.coalesce(
+                F.lag("tool").over(
+                    Window.partitionBy("conv_id").orderBy("turn_idx")
+                ),
+                F.lit("^"),
+            ).alias("prev_tool"),
+            "tool",
+        )
+    )
+    counts = seq.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("prev_tool")
+    return counts.select(
+        "prev_tool",
+        "tool",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )

@@ -69,3 +69,38 @@ def test_filter_reason_priority(spark):
         _tr(spark, rows), min_turns=2, max_alternation_breaks=0
     ).collect()[0]
     assert out["fail_reason"] == "too_short"
+
+
+def test_tool_transitions(spark):
+    from cminer_spark.pipeline.dialogs import tool_transitions
+
+    rows = [
+        # conv A: search -> fetch -> search ; conv B: search -> search
+        ("a", 0, "user", "q", None),
+        ("a", 1, "tool", None, "search"),
+        ("a", 2, "tool", None, "fetch"),
+        ("a", 3, "assistant", "x", None),
+        ("a", 4, "tool", None, "search"),
+        ("b", 0, "tool", None, "search"),
+        ("b", 1, "tool", None, "search"),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    out = {
+        (r["prev_tool"], r["tool"]): (r["n"], r["p"])
+        for r in tool_transitions(tr).collect()
+    }
+    assert out[("^", "search")] == (2, 1.0)  # both chains start at search
+    assert out[("search", "fetch")] == (1, 0.5)
+    assert out[("search", "search")] == (1, 0.5)
+    assert out[("fetch", "search")] == (1, 1.0)
+    # every invocation appears exactly once as a destination
+    assert sum(n for n, _ in out.values()) == 5
+    # per-prev probabilities sum to 1
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (prev, _), (_, p) in out.items():
+        sums[prev] += p
+    assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
