@@ -1101,6 +1101,17 @@ def _q_topk_out_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", "w", F.col("rk").cast("long").alias("rk"))
 
 
+def _q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex churn between two deterministic gate-graph
+    snapshots (overlapping subsets: both add and remove paths run)."""
+    from cminer_spark.operators.stats import graph_diff
+
+    edges = gate.gate_edges_df(spark, sf_dir)
+    old = edges.where((F.col("src") + F.col("dst")) % 3 != 0)
+    new_e = edges.where((F.col("src") + F.col("dst")) % 4 != 0)
+    return graph_diff(old, new_e)
+
+
 def _q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.pipeline.dialogs import build_training_pairs
 
@@ -1202,6 +1213,7 @@ _DRIVER_WINDOW: list[str] = [
     "retention_weekly",
     "conv_filter",
     "tool_transitions",
+    "graph_diff",
     # (c) green in r2, dark in r3 — the first 4 now fall below the
     # 50-entry fold (rotate back next round)
     "minhash_lsh_candidates",
@@ -1313,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_propagation": _q_feature_propagation,
         "topk_out_edges": _q_topk_out_edges,
         "training_pairs": _q_training_pairs,
+        "graph_diff": _q_graph_diff,
         **gate_pipeline.queries(),
         **gate_events.queries(),
     })
@@ -1418,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_propagation": gate.feature_propagation_oracle_sql(),
         "topk_out_edges": gate.topk_out_edges_oracle_sql(),
         "training_pairs": gate.training_pairs_oracle_sql(),
+        "graph_diff": gate.graph_diff_oracle_sql(),
         **gate_pipeline.oracles(),
         **gate_events.oracles(),
     })

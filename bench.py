@@ -419,6 +419,39 @@ def main() -> None:
     )
     conv_docs.unpersist()
 
+    # cross-corpus incremental dedup (r4): 1/5 of the turn docs play
+    # the daily delta against the other 4/5 — banded equi-join +
+    # candidate-only verification, delta side broadcast
+    from cminer_spark.pipeline import dedup_against
+
+    extras["dedup_against_kept"] = timed(
+        "dedup_against_turns",
+        lambda: dedup_against(
+            docs.where(F.col("doc_id") % 5 != 0),
+            docs.where(F.col("doc_id") % 5 == 0),
+            num_hashes=16,
+            bands=4,
+            hash_family="xxhash64",
+            broadcast_delta=True,
+        ).count(),
+        passes=2,
+    )
+
+    # NB classification (r4): train-on-self over the ~1.2M turn texts
+    # with role labels — two combinable training aggregates + broadcast
+    # model scoring + one doc-keyed aggregate
+    from cminer_spark.pipeline import classify_corpus
+
+    nb_docs = t.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text",
+        F.coalesce("role", F.lit("none")).alias("role"),
+    )
+    extras["nb_classified_rows"] = timed(
+        "nb_classify_turns",
+        lambda: classify_corpus(nb_docs, label_col="role").count(),
+        passes=2,
+    )
+
     n_vecs = int(200_000 * sf * 10)
     vecs = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"),

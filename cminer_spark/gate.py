@@ -2074,3 +2074,30 @@ SELECT conv_id, turn_idx,
        response
 FROM ctx WHERE role = 'assistant'"""
     )
+
+
+def graph_diff_oracle_sql() -> str:
+    """Mirror of operators.stats.graph_diff over the gate graph's two
+    deterministic snapshots: old = (src+dst) % 3 != 0 edges,
+    new = (src+dst) % 4 != 0 edges (overlapping subsets, so both the
+    added and removed paths carry rows)."""
+    return f"""
+WITH {EDGES_CTE},
+o AS (SELECT DISTINCT src, dst FROM edges WHERE (src + dst) % 3 <> 0),
+n AS (SELECT DISTINCT src, dst FROM edges WHERE (src + dst) % 4 <> 0),
+added AS (SELECT src, dst, 1 AS a FROM n ANTI JOIN o USING (src, dst)),
+removed AS (SELECT src, dst, 0 AS a FROM o ANTI JOIN n USING (src, dst)),
+delta AS (SELECT * FROM added UNION ALL SELECT * FROM removed),
+perv AS (
+  SELECT src AS v_id, a AS ao, 1 - a AS ro, 0 AS ai, 0 AS ri FROM delta
+  UNION ALL
+  SELECT dst AS v_id, 0 AS ao, 0 AS ro, a AS ai, 1 - a AS ri FROM delta
+)
+SELECT v_id,
+       CAST(sum(ao) AS BIGINT) AS added_out,
+       CAST(sum(ro) AS BIGINT) AS removed_out,
+       CAST(sum(ai) AS BIGINT) AS added_in,
+       CAST(sum(ri) AS BIGINT) AS removed_in,
+       CAST(sum(ao) - sum(ro) + sum(ai) - sum(ri) AS BIGINT) AS degree_delta
+FROM perv GROUP BY v_id
+"""

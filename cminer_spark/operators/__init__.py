@@ -36,6 +36,7 @@ from cminer_spark.operators.stats import (
     degree_histogram,
     graph_summary,
     modularity,
+    graph_diff,
     rank_churn,
 )
 from cminer_spark.operators.eigen import eigenvector_centrality
@@ -101,6 +102,7 @@ __all__ = [
     "degree_assortativity",
     "modularity",
     "conductance",
+    "graph_diff",
     "rank_churn",
     "eigenvector_centrality",
     "link_prediction_scores",

@@ -438,3 +438,57 @@ def dyad_census(edges: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def graph_diff(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Snapshot diff between two edge tables: one row per vertex whose
+    incident edge set changed — ``(v_id, added_out, removed_out,
+    added_in, removed_in, degree_delta)`` — the monitoring companion
+    to the incremental-ingest family (which vertices churned between
+    yesterday's and today's graph, and by how much).
+
+    Added/removed edge sets come from two distinct+anti-joins (both
+    equi-joins on (src, dst), no all-pairs anything); the per-vertex
+    rollup is one combinable aggregate over their union. Multigraph
+    note: edge MULTIPLICITY changes are invisible by design — the diff
+    is over the distinct edge set (document upstream if parallel-edge
+    counts matter).
+    """
+    o = old_edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    n = new_edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    added = n.join(o, ["src", "dst"], "anti").withColumn("_a", F.lit(1))
+    removed = o.join(n, ["src", "dst"], "anti").withColumn("_a", F.lit(0))
+    delta = added.unionByName(removed)
+    per_v = delta.select(
+        F.col("src").alias("v_id"),
+        F.col("_a").alias("ao"),
+        (1 - F.col("_a")).alias("ro"),
+        F.lit(0).alias("ai"),
+        F.lit(0).alias("ri"),
+    ).unionByName(
+        delta.select(
+            F.col("dst").alias("v_id"),
+            F.lit(0).alias("ao"),
+            F.lit(0).alias("ro"),
+            F.col("_a").alias("ai"),
+            (1 - F.col("_a")).alias("ri"),
+        )
+    )
+    return per_v.groupBy("v_id").agg(
+        F.sum("ao").cast("long").alias("added_out"),
+        F.sum("ro").cast("long").alias("removed_out"),
+        F.sum("ai").cast("long").alias("added_in"),
+        F.sum("ri").cast("long").alias("removed_in"),
+        (
+            F.sum("ao") - F.sum("ro") + F.sum("ai") - F.sum("ri")
+        ).cast("long").alias("degree_delta"),
+    )
