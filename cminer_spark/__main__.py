@@ -190,7 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "components", "lpa", "triangles", "katz", "louvain",
             "eigenvector", "mis", "coloring", "msf", "densest",
-            "dyad-census", "topk-cap", "feature-prop",
+            "dyad-census", "topk-cap", "feature-prop", "graph-diff",
         ],
         default="pagerank",
     )
@@ -383,6 +383,12 @@ def main(argv: list[str] | None = None) -> int:
         from cminer_spark.operators import dyad_census
 
         out = dyad_census(edges)
+    elif args.algorithm == "graph-diff":
+        from cminer_spark.operators import graph_diff
+
+        if not args.prev_edges:
+            ap.error("graph-diff needs --prev-edges (the old snapshot)")
+        out = graph_diff(read_table(spark, args.prev_edges), edges)
     elif args.algorithm == "topk-cap":
         from cminer_spark.operators import topk_out_edges
 
