@@ -247,7 +247,9 @@ def main(argv: list[str] | None = None) -> int:
     from cminer_spark.sources.tables import read_table, write_table
 
     spark, owned = _session("cminer-run", args.master)
-    if args.transcripts and args.prev_edges:
+    # graph-diff consumes --prev-edges as the OLD snapshot, not as the
+    # incremental-extraction base
+    if args.transcripts and args.prev_edges and args.algorithm != "graph-diff":
         if not args.changed_convs:
             ap.error("--prev-edges needs --changed-convs (and --transcripts)")
         edges = extract_edges_delta(

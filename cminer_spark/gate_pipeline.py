@@ -1836,6 +1836,12 @@ scored AS (
   LEFT JOIN model m ON m.label = tt.label AND m.t = dt.t
   JOIN priors p ON p.label = tt.label
   GROUP BY dt.doc_id, tt.label
+  UNION ALL
+  -- token-less documents: prior-only posterior (mirror of the Spark
+  -- side's anti-join recovery)
+  SELECT d.doc_id, p.label, round(p.ln_prior, 6) AS score
+  FROM documents d CROSS JOIN priors p
+  WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks)
 ),
 ranked AS (
   SELECT doc_id, label, score,
@@ -1904,11 +1910,14 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Mirror of pipeline.textstats.bigram_logprob: Laplace-smoothed
-# P(w2|w1) trained on the scored corpus itself; docs with <2 tokens
-# have no bigram rows.
+# P(w2|w1) trained on the scored corpus itself; empty tokens dropped
+# before pairing; docs with <2 real tokens have no bigram rows.
 BIGRAM_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), ' +') AS l FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), ' +'),
+                     x -> x <> '') AS l
+  FROM documents
 ),
 pairs AS (
   SELECT doc_id, l[i] AS w1, l[i + 1] AS w2

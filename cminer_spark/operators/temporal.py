@@ -35,7 +35,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "asof_join", "funnel", "temporal_reachability"]
+__all__ = [
+    "sessionize",
+    "asof_join",
+    "funnel",
+    "temporal_reachability",
+    "retention_cohorts",
+]
 
 
 def _unix_micros(col):

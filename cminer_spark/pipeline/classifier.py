@@ -113,7 +113,10 @@ def score_naive_bayes(
     Returns one row per document: ``(doc_id, pred_label,
     score double, margin double)`` — ``score`` is the winning label's
     rounded log posterior, ``margin`` the rounded gap to the runner-up
-    (0.0 when only one label exists).
+    (0.0 when only one label exists). Documents with NO tokens (null/
+    empty/whitespace-only text) still get a row: the prior-only argmax
+    (anti-join recovers them — they cannot silently vanish from a
+    keep/route decision).
 
     Plan: exploded tokens → broadcast left join against the O(V×L)
     model grid (no shuffle: the corpus side keeps its scan
@@ -137,6 +140,14 @@ def score_naive_bayes(
             F.round(F.col("ll") + F.col("ln_prior"), 6).alias("score"),
         )
     )
+    # token-less documents: prior-only posterior
+    no_tok = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(toks.select("doc_id").distinct(), "doc_id", "anti")
+        .crossJoin(F.broadcast(labels.select("label", "ln_prior")))
+        .select("doc_id", "label", F.round("ln_prior", 6).alias("score"))
+    )
+    scored = scored.unionByName(no_tok)
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("label").asc())
     ranked = scored.select(
         "doc_id",

@@ -200,6 +200,19 @@ def _minhash_banded(
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Mega-bucket guard: drop (band_idx, band_hash) buckets with more
+    than ``max_bucket_size`` banded rows before any bucket join."""
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    return (
+        banded.join(sizes, ["band_idx", "band_hash"])
+        .where(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -245,14 +258,7 @@ def minhash_lsh_candidates(
         docs, num_hashes, bands, n, id_col, text_col, hash_family
     )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band_idx", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        banded = (
-            banded.join(sizes, ["band_idx", "band_hash"])
-            .where(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+        banded = _cap_buckets(banded, max_bucket_size)
     a = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     return (
@@ -567,14 +573,7 @@ def lsh_candidates_against(
         existing, num_hashes, bands, n, id_col, text_col, hash_family
     ).select(F.col("doc_id").alias("existing_id"), "band_idx", "band_hash")
     if max_bucket_size is not None:
-        sizes = be.groupBy("band_idx", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        be = (
-            be.join(sizes, ["band_idx", "band_hash"])
-            .where(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+        be = _cap_buckets(be, max_bucket_size)
     bn = _minhash_banded(
         new, num_hashes, bands, n, id_col, text_col, hash_family
     ).select(F.col("doc_id").alias("new_id"), "band_idx", "band_hash")

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["build_training_pairs"]
+__all__ = [
+    "build_training_pairs",
+    "conversation_stats",
+    "filter_conversations",
+    "tool_transitions",
+]
 
 
 def build_training_pairs(

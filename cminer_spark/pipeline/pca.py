@@ -33,10 +33,20 @@ from pyspark.sql import functions as F
 
 
 def _dim(embs: DataFrame, vec_col: str) -> int:
-    row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None or row["d"] is None or row["d"] <= 0:
+    """Embedding dimension, validated across ALL rows (ragged arrays
+    would otherwise turn into silent NULL projections: `element_at`
+    past the end is NULL and `sum` skips it)."""
+    row = embs.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None or row["lo"] <= 0:
         raise ValueError("embedding column is empty or has no rows")
-    return int(row["d"])
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"ragged embedding column: sizes range {row['lo']}..{row['hi']}"
+        )
+    return int(row["lo"])
 
 
 def _dot(vec_col: str, v: list[float]):

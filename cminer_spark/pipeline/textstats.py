@@ -427,7 +427,9 @@ def bigram_logprob(
 
     ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with unigram count
     ``c(w1)`` and shared vocab size ``V``. Unseen pairs hit the
-    ``c(w1,w2)=0`` smoothing floor. Documents with fewer than two
+    ``c(w1,w2)=0`` smoothing floor. Empty tokens from leading/
+    trailing/multiple whitespace are dropped BEFORE pairing (no
+    phantom ``''`` bigrams); documents with fewer than two real
     tokens have no bigrams and are absent from the output.
 
     Plan shape: adjacent pairs are built IN-ARRAY (``slice`` +
@@ -441,8 +443,13 @@ def bigram_logprob(
     """
     train = corpus if corpus is not None else docs
 
+    def _clean_toks() -> F.Column:
+        return F.filter(
+            F.split(F.lower(F.col(text_col)), " +"), lambda x: x != ""
+        )
+
     def _pairs(frame: DataFrame, with_id: bool) -> DataFrame:
-        toks = F.split(F.lower(F.col(text_col)), " +")
+        toks = _clean_toks()
         n = F.size(toks)
         zipped = F.arrays_zip(
             F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
@@ -456,7 +463,11 @@ def bigram_logprob(
         )
 
     corpus_toks = train.select(
-        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("t")
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " +"), lambda x: x != ""
+            )
+        ).alias("t")
     )
     uni = corpus_toks.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
     v = float(uni.count())

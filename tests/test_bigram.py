@@ -69,3 +69,22 @@ def test_bigram_orders_beat_shuffled_text(spark):
         for r in bigram_logprob(probe, corpus=corpus).collect()
     }
     assert scores[100] > scores[101]
+
+
+def test_no_phantom_empty_token_bigrams(spark):
+    """Trailing/leading/multiple spaces must not create '' bigrams
+    (review fix)."""
+    from cminer_spark.pipeline.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "hello "), (1, " the  cat "), (2, "a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["logprob_per_pair"])
+        for r in bigram_logprob(docs).collect()
+    }
+    assert 0 not in got  # one real token -> no bigrams
+    assert got[1][0] == 1  # ('the','cat') only
+    want = _py_bigram(["hello", "the cat", "a b"], [(1, "the cat"), (2, "a b")])
+    assert got[1] == want[1] and got[2] == want[2]

@@ -157,3 +157,20 @@ def test_evaluate_predictions_unpredicted_class(spark):
     assert rep["c"]["f1"] == 0.0
     # a predicted twice, right once
     assert rep["a"]["precision"] == 0.5 and rep["a"]["recall"] == 1.0
+
+
+def test_tokenless_docs_get_prior_only_row(spark):
+    """Empty/null/whitespace-only docs must not vanish: they score the
+    prior-only argmax (review fix)."""
+    docs = spark.createDataFrame(
+        [(0, "a b", "x"), (1, "a", "x"), (2, "c d", "y"),
+         (10, "", "x"), (11, None, "y"), (12, "   ", "x")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in classify_corpus(docs, "lang").collect()}
+    assert set(out) == {0, 1, 2, 10, 11, 12}
+    # prior argmax: 4 'x' docs vs 2 'y' docs -> 'x'
+    for i in (10, 11, 12):
+        assert out[i]["pred_label"] == "x"
+        assert out[i]["score"] == round(math.log(4 / 6), 6)
+        assert out[i]["margin"] == round(math.log(4 / 6) - math.log(2 / 6), 6)

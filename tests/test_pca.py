@@ -65,3 +65,12 @@ def test_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         power_iteration_top_pc(empty)
+
+
+def test_ragged_embeddings_raise(spark):
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        power_iteration_top_pc(ragged)
