@@ -72,6 +72,7 @@ def main() -> None:
         identical plan; see BENCH/BASELINE.md) plus the raw pass list."""
         out = None
         secs = []
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         for _ in range(passes):
             t0 = time.time()
             out = fn()
@@ -79,6 +80,7 @@ def main() -> None:
         queries[name] = min(secs)
         if passes > 1:
             extras[f"{name}_pass_secs"] = secs
+        print(f"[bench] {name} {secs}", file=sys.stderr, flush=True)
         return out
 
     # -- events-derived gate graph ------------------------------------
@@ -129,18 +131,25 @@ def main() -> None:
     minfo = timed("mis_events", run_mis, passes=2)
     extras["mis_events_rounds"] = minfo.rounds
 
-    # Jones-Plassmann coloring to convergence (r4): MIS-shaped rounds
-    # plus the used-color gather
+    # Jones-Plassmann coloring (r4): MIS-shaped rounds plus the
+    # used-color gather. FIXED 10-round budget and a single pass: each
+    # round is ~5 full-graph shuffles, so convergence mode at sf 0.1
+    # ran tens of minutes and dominated the whole bench — the metric
+    # here is per-round throughput, not rounds-to-convergence; the
+    # uncolored remainder is recorded so the budget is visible.
     from cminer_spark.operators import greedy_coloring
 
     def run_color():
-        st, cinfo = greedy_coloring(edges, max_rounds=40)
+        st, cinfo = greedy_coloring(edges, max_rounds=10)
         ncolors = st.agg(F.countDistinct("color")).collect()[0][0]
         return cinfo, ncolors
 
-    (cinfo, n_colors) = timed("greedy_color_events", run_color, passes=2)
+    (cinfo, n_colors) = timed("greedy_color_events", run_color, passes=1)
     extras["greedy_color_rounds"] = cinfo.rounds
     extras["greedy_color_n_colors"] = n_colors
+    extras["greedy_color_uncolored"] = (
+        cinfo.uncolored[-1] if cinfo.uncolored else -1
+    )
 
     # feature propagation (r4 wave 3): 2 damped rounds of dim-8
     # neighbor averaging in the exploded (v, pos, val) representation —
