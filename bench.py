@@ -44,6 +44,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    # tiers: --fast (or BENCH_TIER=fast) runs only the headline
+    # round-over-round comparison entries; --full (default) adds the
+    # wider operator coverage. Both emit the same
+    # BENCH/last_run.json-compatible JSON (absent entries simply have
+    # no key), so a fast iteration loop stops coupling unrelated
+    # numbers through host steal contamination (the r4 lpa4_events
+    # artifact).
+    argv_tier = next(
+        (a.lstrip("-") for a in sys.argv[1:] if a.lstrip("-") in ("fast", "full")),
+        None,
+    )
+    tier = argv_tier or os.environ.get("BENCH_TIER", "full").lower()
+    full = tier != "fast"
 
     import __spark_entry__ as entrymod
 
@@ -114,10 +127,11 @@ def main() -> None:
     # hop — the whole-graph distance summary at link-graph scale
     from cminer_spark.operators.anf import anf_sketch
 
-    extras["anf_hops"] = timed(
-        "anf_sketch_events",
-        lambda: anf_sketch(edges, max_h=6, k=16, seed=42).count(),
-    )
+    if full:
+        extras["anf_hops"] = timed(
+            "anf_sketch_events",
+            lambda: anf_sketch(edges, max_h=6, k=16, seed=42).count(),
+        )
 
     # Luby MIS to convergence (r4): the symmetry-breaking superstep —
     # geometric frontier decay, so rounds ≈ O(log n)
@@ -128,28 +142,32 @@ def main() -> None:
         st.count()
         return minfo
 
-    minfo = timed("mis_events", run_mis, passes=2)
-    extras["mis_events_rounds"] = minfo.rounds
+    if full:
+        minfo = timed("mis_events", run_mis, passes=2)
+        extras["mis_events_rounds"] = minfo.rounds
 
-    # Jones-Plassmann coloring (r4): MIS-shaped rounds plus the
-    # used-color gather. FIXED 10-round budget and a single pass: each
-    # round is ~5 full-graph shuffles, so convergence mode at sf 0.1
-    # ran tens of minutes and dominated the whole bench — the metric
-    # here is per-round throughput, not rounds-to-convergence; the
-    # uncolored remainder is recorded so the budget is visible.
+    # Jones-Plassmann-LDF coloring (r5): degree-first priorities make
+    # hubs decide early, and the used-color gather is folded into the
+    # winner join (one adjacency pass per round instead of two) — the
+    # sf0.1 graph now COLORS TO CONVERGENCE inside the old 10-round
+    # budget's wall-clock (r4: 59.1s for 10 rounds, 3444/83k left
+    # uncolored; r5: full coloring in ~11 rounds), so the bench entry
+    # is rounds-to-convergence, not a fixed cap.
     from cminer_spark.operators import greedy_coloring
 
     def run_color():
-        st, cinfo = greedy_coloring(edges, max_rounds=10)
+        st, cinfo = greedy_coloring(edges, max_rounds=40)
         ncolors = st.agg(F.countDistinct("color")).collect()[0][0]
         return cinfo, ncolors
 
-    (cinfo, n_colors) = timed("greedy_color_events", run_color, passes=1)
-    extras["greedy_color_rounds"] = cinfo.rounds
-    extras["greedy_color_n_colors"] = n_colors
-    extras["greedy_color_uncolored"] = (
-        cinfo.uncolored[-1] if cinfo.uncolored else -1
-    )
+    if full:
+        (cinfo, n_colors) = timed("greedy_color_events", run_color, passes=1)
+        extras["greedy_color_rounds"] = cinfo.rounds
+        extras["greedy_color_converged"] = cinfo.converged
+        extras["greedy_color_n_colors"] = n_colors
+        extras["greedy_color_uncolored"] = (
+            cinfo.uncolored[-1] if cinfo.uncolored else -1
+        )
 
     # feature propagation (r4 wave 3): 2 damped rounds of dim-8
     # neighbor averaging in the exploded (v, pos, val) representation —
@@ -170,19 +188,21 @@ def main() -> None:
             ).alias("emb"),
         )
     )
-    timed(
-        "feature_prop_events",
-        lambda: propagate_features(edges, feats, rounds=2).count(),
-        passes=2,
-    )
+    if full:
+        timed(
+            "feature_prop_events",
+            lambda: propagate_features(edges, feats, rounds=2).count(),
+            passes=2,
+        )
 
     # top-k hub capping on the reversed graph (tool sinks -> sources)
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    timed(
-        "topk_cap_events",
-        lambda: topk_out_edges(rev, k=8, weight_col=None).count(),
-        passes=2,
-    )
+    if full:
+        timed(
+            "topk_cap_events",
+            lambda: topk_out_edges(rev, k=8, weight_col=None).count(),
+            passes=2,
+        )
     edges.unpersist()
 
     # -- synthetic transcripts graph (scaling-run input) ----------------
@@ -223,14 +243,15 @@ def main() -> None:
     # analysis, BENCH/BASELINE.md)
     from cminer_spark.operators import extract_edges_sql
 
-    timed(
-        "edge_extract_sql_synth",
-        lambda: extract_edges_sql(t).count(),
-        passes=3,
-    )
-    extras["edge_extract_sql_edges_per_sec"] = round(
-        n_synth_edges / queries["edge_extract_sql_synth"], 1
-    )
+    if full:
+        timed(
+            "edge_extract_sql_synth",
+            lambda: extract_edges_sql(t).count(),
+            passes=3,
+        )
+        extras["edge_extract_sql_edges_per_sec"] = round(
+            n_synth_edges / queries["edge_extract_sql_synth"], 1
+        )
 
     def run_pagerank_synth():
         _ranks, info = pagerank(synth_edges, tol=0.0, max_iter=8)
@@ -284,12 +305,13 @@ def main() -> None:
         lambda: incremental_components(prev_cc, delta_e)[0].count(),
         passes=2,
     )
-    timed(
-        "cc_full_synth",
-        lambda: connected_components(synth_edges.select("src", "dst"))[
-            0
-        ].count(),
-    )
+    if full:
+        timed(
+            "cc_full_synth",
+            lambda: connected_components(synth_edges.select("src", "dst"))[
+                0
+            ].count(),
+        )
     prev_edges_inc.unpersist()
     prev_cc.unpersist()
     delta_e.unpersist()
@@ -350,143 +372,145 @@ def main() -> None:
         pseudo_random_centroids,
     )
 
-    docs = t.select(
-        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
-    )
-    extras["minhash_docs"] = t.count()
-    extras["minhash_candidate_pairs"] = timed(
-        "minhash_lsh_turns",
-        lambda: minhash_lsh_candidates(
-            docs, num_hashes=16, bands=4, hash_family="xxhash64"
-        ).count(),
-        passes=2,
-    )
+    # the whole training-pipeline section is full-tier only
+    if full:
+        docs = t.select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        extras["minhash_docs"] = t.count()
+        extras["minhash_candidate_pairs"] = timed(
+            "minhash_lsh_turns",
+            lambda: minhash_lsh_candidates(
+                docs, num_hashes=16, bands=4, hash_family="xxhash64"
+            ).count(),
+            passes=2,
+        )
 
-    # PII redaction over the same ~1.2M turn texts: pure regex
-    # expressions, shuffle-free — measures scan+codegen throughput
-    from cminer_spark.pipeline import redact_pii
+        # PII redaction over the same ~1.2M turn texts: pure regex
+        # expressions, shuffle-free — measures scan+codegen throughput
+        from cminer_spark.pipeline import redact_pii
 
-    # aggregate over the output columns so Catalyst cannot prune the
-    # regex work away (a bare count() would)
-    extras["redact_chars"] = timed(
-        "redact_pii_turns",
-        lambda: int(
-            redact_pii(docs)
-            .agg(
-                F.sum(
-                    F.length("text_redacted") + F.col("n_pii")
-                ).alias("s")
+        # aggregate over the output columns so Catalyst cannot prune the
+        # regex work away (a bare count() would)
+        extras["redact_chars"] = timed(
+            "redact_pii_turns",
+            lambda: int(
+                redact_pii(docs)
+                .agg(
+                    F.sum(
+                        F.length("text_redacted") + F.col("n_pii")
+                    ).alias("s")
+                )
+                .collect()[0]["s"]
+            ),
+            passes=2,
+        )
+
+        # line-level dedup over conversation documents (r4): conversation =
+        # doc, turn = line — removes turns repeated verbatim across >= 2
+        # conversations and reassembles; explode + two hash-aggregates +
+        # one anti-join over ~1.2M lines
+        from cminer_spark.pipeline import line_dedup
+
+        # each conversation gets one of 5 boilerplate header lines (the
+        # cross-doc duplication line_dedup exists to remove — synth turn
+        # texts themselves are hash-unique across conversations)
+        headers = F.array(
+            *[F.lit(f"standard greeting header variant {i}") for i in range(5)]
+        )
+        conv_docs = (
+            t.select(
+                F.col("conv_id"),
+                F.struct(F.col("turn_idx"), F.col("text")).alias("s"),
             )
-            .collect()[0]["s"]
-        ),
-        passes=2,
-    )
-
-    # line-level dedup over conversation documents (r4): conversation =
-    # doc, turn = line — removes turns repeated verbatim across >= 2
-    # conversations and reassembles; explode + two hash-aggregates +
-    # one anti-join over ~1.2M lines
-    from cminer_spark.pipeline import line_dedup
-
-    # each conversation gets one of 5 boilerplate header lines (the
-    # cross-doc duplication line_dedup exists to remove — synth turn
-    # texts themselves are hash-unique across conversations)
-    headers = F.array(
-        *[F.lit(f"standard greeting header variant {i}") for i in range(5)]
-    )
-    conv_docs = (
-        t.select(
-            F.col("conv_id"),
-            F.struct(F.col("turn_idx"), F.col("text")).alias("s"),
-        )
-        .groupBy("conv_id")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.element_at(
-                    headers,
-                    F.pmod(F.xxhash64("conv_id"), F.lit(5)).cast("int") + 1,
-                ),
+            .groupBy("conv_id")
+            .agg(
                 F.concat_ws(
-                    "\n", F.transform(F.sort_array(F.collect_list("s")),
-                                      lambda x: x["text"])
-                ),
-            ).alias("text")
+                    "\n",
+                    F.element_at(
+                        headers,
+                        F.pmod(F.xxhash64("conv_id"), F.lit(5)).cast("int") + 1,
+                    ),
+                    F.concat_ws(
+                        "\n", F.transform(F.sort_array(F.collect_list("s")),
+                                          lambda x: x["text"])
+                    ),
+                ).alias("text")
+            )
+            .withColumn("doc_id", F.xxhash64("conv_id"))
+            .persist()
         )
-        .withColumn("doc_id", F.xxhash64("conv_id"))
-        .persist()
-    )
-    conv_docs.count()
-    extras["line_dedup_removed"] = timed(
-        "line_dedup_convs",
-        lambda: int(
-            line_dedup(conv_docs)
-            .agg(F.sum(F.col("n_lines") - F.col("n_lines_kept")).alias("r"))
-            .collect()[0]["r"]
-        ),
-        passes=2,
-    )
-    conv_docs.unpersist()
+        conv_docs.count()
+        extras["line_dedup_removed"] = timed(
+            "line_dedup_convs",
+            lambda: int(
+                line_dedup(conv_docs)
+                .agg(F.sum(F.col("n_lines") - F.col("n_lines_kept")).alias("r"))
+                .collect()[0]["r"]
+            ),
+            passes=2,
+        )
+        conv_docs.unpersist()
 
-    # cross-corpus incremental dedup (r4): 1/5 of the turn docs play
-    # the daily delta against the other 4/5 — banded equi-join +
-    # candidate-only verification, delta side broadcast
-    from cminer_spark.pipeline import dedup_against
+        # cross-corpus incremental dedup (r4): 1/5 of the turn docs play
+        # the daily delta against the other 4/5 — banded equi-join +
+        # candidate-only verification, delta side broadcast
+        from cminer_spark.pipeline import dedup_against
 
-    extras["dedup_against_kept"] = timed(
-        "dedup_against_turns",
-        lambda: dedup_against(
-            docs.where(F.col("doc_id") % 5 != 0),
-            docs.where(F.col("doc_id") % 5 == 0),
-            num_hashes=16,
-            bands=4,
-            hash_family="xxhash64",
-            broadcast_delta=True,
-        ).count(),
-        passes=2,
-    )
+        extras["dedup_against_kept"] = timed(
+            "dedup_against_turns",
+            lambda: dedup_against(
+                docs.where(F.col("doc_id") % 5 != 0),
+                docs.where(F.col("doc_id") % 5 == 0),
+                num_hashes=16,
+                bands=4,
+                hash_family="xxhash64",
+                broadcast_delta=True,
+            ).count(),
+            passes=2,
+        )
 
-    # NB classification (r4): train-on-self over the ~1.2M turn texts
-    # with role labels — two combinable training aggregates + broadcast
-    # model scoring + one doc-keyed aggregate
-    from cminer_spark.pipeline import classify_corpus
+        # NB classification (r4): train-on-self over the ~1.2M turn texts
+        # with role labels — two combinable training aggregates + broadcast
+        # model scoring + one doc-keyed aggregate
+        from cminer_spark.pipeline import classify_corpus
 
-    nb_docs = t.select(
-        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text",
-        F.coalesce("role", F.lit("none")).alias("role"),
-    )
-    extras["nb_classified_rows"] = timed(
-        "nb_classify_turns",
-        lambda: classify_corpus(nb_docs, label_col="role").count(),
-        passes=2,
-    )
+        nb_docs = t.select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text",
+            F.coalesce("role", F.lit("none")).alias("role"),
+        )
+        extras["nb_classified_rows"] = timed(
+            "nb_classify_turns",
+            lambda: classify_corpus(nb_docs, label_col="role").count(),
+            passes=2,
+        )
 
-    n_vecs = int(200_000 * sf * 10)
-    vecs = spark.range(n_vecs).select(
-        F.col("id").alias("vec_id"),
-        F.array(
-            *[
-                (
-                    F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(1000))
-                    / 500.0
-                    - 1.0
-                ).cast("float")
-                for d in range(32)
-            ]
-        ).alias("embedding"),
-    )
-    extras["ivf_vectors"] = n_vecs
-    extras["ivf_topk_rows"] = timed(
-        "ivf_ann_200k",
-        lambda: ivf_topk(
-            vecs,
-            [0, 1, 2, 3, 4],
-            k=10,
-            centroids=pseudo_random_centroids(32, 16),
-            n_probe=2,
-        ).count(),
-        passes=2,
-    )
+        n_vecs = int(200_000 * sf * 10)
+        vecs = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(1000))
+                        / 500.0
+                        - 1.0
+                    ).cast("float")
+                    for d in range(32)
+                ]
+            ).alias("embedding"),
+        )
+        extras["ivf_vectors"] = n_vecs
+        extras["ivf_topk_rows"] = timed(
+            "ivf_ann_200k",
+            lambda: ivf_topk(
+                vecs,
+                [0, 1, 2, 3, 4],
+                k=10,
+                centroids=pseudo_random_centroids(32, 16),
+                n_probe=2,
+            ).count(),
+            passes=2,
+        )
     t.unpersist()
 
     total = round(sum(queries.values()), 3)
@@ -498,6 +522,7 @@ def main() -> None:
         "sf": sf,
         "total_sec": total,
         "cpus": cpus,
+        "tier": tier,
         **extras,
     }
     spark.stop()

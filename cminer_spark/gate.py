@@ -612,19 +612,25 @@ COLOR_ROUNDS = 4
 
 
 def coloring_oracle_sql(k: int = COLOR_ROUNDS) -> str:
-    """Unrolled Jones-Plassmann coloring: per round, an uncolored
-    vertex wins iff its md5 priority beats every uncolored neighbor's
-    (the MIS winner rule, strict ``<`` on the hex string) and takes
-    the smallest color its already-colored neighbors don't hold
-    (min over candidates 0..round-1 anti-joined against used colors).
-    Matches :func:`cminer_spark.operators.coloring.greedy_coloring`
-    with ``stop_when_done=False`` exactly, round by round."""
+    """Unrolled Jones-Plassmann-LDF coloring: per round, an uncolored
+    vertex wins iff its composite priority — zero-padded
+    ``10^10 - degree`` prefix (degree DESC) then md5 (the exact
+    expression in operators/coloring.py::_pri) — beats every uncolored
+    neighbor's (strict ``<`` on the string) and takes the smallest
+    color its already-colored neighbors don't hold (min over
+    candidates 0..round-1 anti-joined against used colors). Matches
+    :func:`cminer_spark.operators.coloring.greedy_coloring` with
+    ``stop_when_done=False`` exactly, round by round."""
     parts = [
         f"WITH {EDGES_CTE}",
         """,
-st0 AS (SELECT v AS v_id, md5(CAST(v AS VARCHAR)) AS p,
+cdeg AS (SELECT u AS v_id, count(*) AS d FROM sym GROUP BY u),
+st0 AS (SELECT v AS v_id,
+               lpad(CAST(10000000000 - coalesce(cd.d, 0) AS VARCHAR),
+                    11, '0')
+                 || md5(CAST(v AS VARCHAR)) AS p,
                CAST(-1 AS BIGINT) AS color
-        FROM verts)""",
+        FROM verts LEFT JOIN cdeg cd ON verts.v = cd.v_id)""",
     ]
     for i in range(1, k + 1):
         parts.append(
@@ -2059,11 +2065,13 @@ ctx AS (
   SELECT conv_id, turn_idx, role,
          coalesce(text, '') AS response,
          string_agg(role || ': ' || coalesce(text, ''), chr(10))
-           OVER (PARTITION BY conv_id ORDER BY turn_idx
+           OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx, role || ': ' || coalesce(text, '')
                  ROWS BETWEEN {history} PRECEDING AND 1 PRECEDING)
            AS context,
          count(*)
-           OVER (PARTITION BY conv_id ORDER BY turn_idx
+           OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx, role || ': ' || coalesce(text, '')
                  ROWS BETWEEN {history} PRECEDING AND 1 PRECEDING)
            AS n_context_turns
   FROM tr

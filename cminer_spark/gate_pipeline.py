@@ -1159,30 +1159,47 @@ SELECT doc_id, {normalize_sql_expr('text')} AS text_norm FROM messy
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flattened to one row per (vector, position): the driver
+    # canonicalizer sorts result columns through pandas, which cannot
+    # hash array cells (round-4 red: "unhashable type: 'list'"), so
+    # gate outputs must be scalar-only. The operator itself still
+    # returns array<tinyint>; this posexplode is gate shaping.
     from cminer_spark.pipeline.quantize import quantize_embeddings
 
     out = quantize_embeddings(_embs(spark, sf_dir))
     return out.select(
-        "vec_id", F.round("q_scale", 6).alias("q_scale"), "q"
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.posexplode("q").alias("pos", "code"),
+    ).select(
+        "vec_id",
+        "q_scale",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("code").cast("long").alias("code"),
     )
 
 
 QUANTIZE_SQL = """
 SELECT vec_id,
        round(s, 6) AS q_scale,
-       CASE WHEN s = 0
-            THEN list_transform(embedding, e -> CAST(0 AS TINYINT))
-            ELSE list_transform(
-              embedding,
-              e -> CAST(greatest(-127, least(127,
-                     CAST(round(CAST(e AS DOUBLE) / s * 127.0) AS INT)
-                   )) AS TINYINT))
-       END AS q
+       CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS pos,
+       CAST(unnest(q) AS BIGINT) AS code
 FROM (
-  SELECT vec_id, embedding,
-         list_max(list_transform(embedding,
-                                 e -> abs(CAST(e AS DOUBLE)))) AS s
-  FROM embeddings
+  SELECT vec_id, s,
+         CASE WHEN s = 0
+              THEN list_transform(embedding, e -> CAST(0 AS TINYINT))
+              ELSE list_transform(
+                embedding,
+                e -> CAST(greatest(-127, least(127,
+                       CAST(round(CAST(e AS DOUBLE) / s * 127.0) AS INT)
+                     )) AS TINYINT))
+         END AS q
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   e -> abs(CAST(e AS DOUBLE)))) AS s
+    FROM embeddings
+  )
 )
 """
 
@@ -1192,14 +1209,20 @@ RP_SEED = 17
 
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flattened to (vec_id, pos, val) scalar rows for the driver
+    # canonicalizer — see q_quantize_int8. The operator still returns
+    # array<double>.
     from cminer_spark.pipeline.projection import random_projection
 
     out = random_projection(
         _embs(spark, sf_dir), out_dim=RP_OUT_DIM, seed=RP_SEED
     )
     return out.select(
+        "vec_id", F.posexplode("projected").alias("pos", "val")
+    ).select(
         "vec_id",
-        F.transform("projected", lambda v: F.round(v, 6)).alias("projected"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round("val", 6).alias("val"),
     )
 
 
@@ -1215,8 +1238,12 @@ def projection_oracle_sql() -> str:
     )
     return f"""
 SELECT vec_id,
-       [{comps}] AS projected
-FROM embeddings
+       CAST(generate_subscripts(projected, 1) - 1 AS BIGINT) AS pos,
+       unnest(projected) AS val
+FROM (
+  SELECT vec_id, [{comps}] AS projected
+  FROM embeddings
+)
 """
 
 
@@ -1826,16 +1853,19 @@ model AS (
   SELECT c.label, c.t, ln((c.c + 1.0) / (tt.t_l + tt.v)) AS loglik
   FROM counts c JOIN totals tt USING (label)
 ),
-dt AS (SELECT doc_id, t, count(*) AS n FROM toks GROUP BY doc_id, t),
 scored AS (
-  SELECT dt.doc_id, tt.label,
-         round(sum(dt.n * coalesce(m.loglik, ln(1.0 / (tt.t_l + tt.v))))
+  -- occurrence-level sum (one addend per token occurrence), matching
+  -- the Spark side's arithmetic shape exactly — a per-(doc,token)
+  -- pre-count (n * loglik) changes the FP summation and can flip the
+  -- 6-dp rounding on near-tied documents
+  SELECT tk.doc_id, tt.label,
+         round(sum(coalesce(m.loglik, ln(1.0 / (tt.t_l + tt.v))))
                + any_value(p.ln_prior), 6) AS score
-  FROM dt
+  FROM toks tk
   CROSS JOIN totals tt
-  LEFT JOIN model m ON m.label = tt.label AND m.t = dt.t
+  LEFT JOIN model m ON m.label = tt.label AND m.t = tk.t
   JOIN priors p ON p.label = tt.label
-  GROUP BY dt.doc_id, tt.label
+  GROUP BY tk.doc_id, tt.label
   UNION ALL
   -- token-less documents: prior-only posterior (mirror of the Spark
   -- side's anti-join recovery)

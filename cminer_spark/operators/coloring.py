@@ -7,30 +7,39 @@ classes are independent sets, so per-color batches can be processed
 with no neighbor conflicts — e.g. parallel greedy updates over the
 transcript link graph).
 
-Algorithm (Jones & Plassmann 1993), determinism without RNG state:
-per round, an uncolored vertex COLORS ITSELF iff its priority
-``md5(cast(v_id as string))`` beats (strict ``<`` on the hex string,
-exactly the MIS winner rule — smaller hex = higher priority) every
-uncolored neighbor's; its color is the smallest non-negative integer
-unused by its already-colored neighbors. Two adjacent vertices can
-never win the same round, and winners exclude all earlier-colored
-neighbors' colors, so the partial coloring is proper after every
-round — fixed-round runs are safely resumable/gateable, uncolored
-vertices carry ``color = -1``.
+Algorithm (Jones & Plassmann 1993) with LARGEST-DEGREE-FIRST
+priorities (the JP-LDF variant): per round, an uncolored vertex
+COLORS ITSELF iff its priority beats (strict ``<``) every uncolored
+neighbor's; its color is the smallest non-negative integer unused by
+its already-colored neighbors. The priority is the composite string
 
-Scale design (same budget as one Luby MIS round, plus the used-color
-gather):
+    lpad(10^10 - degree, 11, '0') || md5(cast(v_id as string))
 
-* winner selection = two shuffle-hash joins of the uncolored state
-  onto the persisted symmetric adjacency + one combinable
-  ``groupBy(min)`` — hub-degree keys reduce map-side;
-* color choice = one join of winners onto colored neighbors + a
-  ``collect_set`` bounded by the round index (a round-``r`` winner's
-  colored neighbors hold colors ``< r``), so the per-group state is
-  O(max_rounds), never O(degree);
-* the uncolored frontier shrinks geometrically (JP decides at least
-  the local priority maxima each round); decided vertices leave the
-  active joins on both sides;
+— higher degree sorts FIRST, md5 breaks ties — so hub vertices
+decide early instead of waiting O(degree) rounds for every random
+neighbor priority to clear (the pure-md5 variant left a third of a
+skewed sf0.1 graph uncolored after 10 rounds; LDF converges in ~10).
+Determinism still needs no RNG state: degree and md5 are both pure
+functions of the input. Two adjacent vertices can never win the same
+round, and winners exclude all earlier-colored neighbors' colors, so
+the partial coloring is proper after every round — fixed-round runs
+are safely resumable/gateable, uncolored vertices carry
+``color = -1``.
+
+Scale design (ONE adjacency-state join pass per round — the
+used-color gather is FOLDED into the winner join instead of paying a
+second sym join pair):
+
+* the round joins the persisted symmetric adjacency once against the
+  full state on the neighbor side and the uncolored frontier on the
+  vertex side, then ONE combinable ``groupBy(v)`` computes BOTH the
+  min uncolored-neighbor priority and the colored-neighbor used-color
+  set;
+* the used ``collect_set`` is bounded by the round index (a
+  round-``r`` winner's colored neighbors hold colors ``< r``), so
+  per-group state is O(max_rounds), never O(degree);
+* static priorities ride IN the state (computed once at setup from
+  one degree aggregate), so no per-round recompute;
 * the uncolored-count convergence probe rides the state write via
   ``df.observe()`` — one job per round.
 
@@ -39,7 +48,8 @@ Semantics: undirected simple projection of ``edges(src, dst)``
 convention shared with MIS/k-core/LPA).
 
 Gate: ``greedy_color`` (fixed-round variant vs the unrolled DuckDB
-oracle recomputing the same md5 priorities and min-excluded colors).
+oracle recomputing the same degree+md5 priorities and min-excluded
+colors).
 """
 
 from __future__ import annotations
@@ -56,6 +66,11 @@ __all__ = ["greedy_coloring", "ColoringInfo"]
 
 UNCOLORED = -1
 
+# priority prefix base: degrees are < 10^10 on any graph this engine
+# targets (10^12 edges / sparse), so 10^10 - deg is always 10-11
+# digits and the zero-padded prefix sorts degree-DESC lexicographically
+_PRI_BASE = 10_000_000_000
+
 
 @dataclass
 class ColoringInfo:
@@ -64,8 +79,17 @@ class ColoringInfo:
     uncolored: list = field(default_factory=list)
 
 
-def _pri(col):
-    return F.md5(F.col(col).cast("string"))
+def _pri(v_col, deg_col):
+    """Composite JP-LDF priority string: degree-desc, md5-asc."""
+    return F.concat(
+        F.lpad(
+            (F.lit(_PRI_BASE) - F.coalesce(deg_col, F.lit(0)))
+            .cast("string"),
+            11,
+            "0",
+        ),
+        F.md5(v_col.cast("string")),
+    )
 
 
 def greedy_coloring(
@@ -74,8 +98,8 @@ def greedy_coloring(
     vertices: DataFrame | None = None,
     stop_when_done: bool = True,
 ) -> tuple[DataFrame, ColoringInfo]:
-    """Jones-Plassmann coloring over the undirected simple projection
-    of ``edges(src, dst)``.
+    """Jones-Plassmann (largest-degree-first) coloring over the
+    undirected simple projection of ``edges(src, dst)``.
 
     Returns ``(df(v_id, color), info)``: ``color >= 0`` is a proper
     distance-1 coloring of the colored subgraph; ``color == -1`` marks
@@ -91,57 +115,68 @@ def greedy_coloring(
     )
     if vertices is not None:
         all_v = all_v.union(vertices.select("v_id"))
-    st = all_v.distinct().select(
-        "v_id", F.lit(UNCOLORED).cast("long").alias("color")
+    deg = sym.groupBy(F.col("v").alias("v_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    st = (
+        all_v.distinct()
+        .join(deg.hint("shuffle_hash"), "v_id", "left")
+        .select(
+            "v_id",
+            F.lit(UNCOLORED).cast("long").alias("color"),
+            _pri(F.col("v_id"), F.col("deg")).alias("pri"),
+        )
     )
     st = truncate_lineage(st)
 
     for rnd in range(1, max_rounds + 1):
-        unc = st.where(F.col("color") == UNCOLORED)
-        act = sym.join(
-            unc.select(
-                F.col("v_id").alias("nbr"), _pri("v_id").alias("pu")
-            ).hint("shuffle_hash"),
-            "nbr",
-        ).join(unc.select(F.col("v_id").alias("v")).hint("shuffle_hash"), "v")
-        mn = act.groupBy(F.col("v").alias("v_id")).agg(
-            F.min("pu").alias("mp")
+        # one pass: adjacency x full state (neighbor side) x uncolored
+        # frontier (vertex side), then a single combinable aggregate
+        # yields both the winner test input (min uncolored-neighbor
+        # priority) and the used-color set of colored neighbors.
+        nbr_st = st.select(
+            F.col("v_id").alias("nbr"),
+            F.col("pri").alias("np"),
+            F.col("color").alias("nc"),
         )
-        scored = st.join(mn.hint("shuffle_hash"), "v_id", "left")
-        is_winner = (F.col("color") == UNCOLORED) & (
-            F.col("mp").isNull() | (_pri("v_id") < F.col("mp"))
+        unc_v = st.where(F.col("color") == UNCOLORED).select(
+            F.col("v_id").alias("v")
         )
-        winners = scored.where(is_winner).select("v_id")
-
-        # colors already held by a winner's neighbors (all < rnd)
-        used = (
-            sym.join(
-                winners.select(F.col("v_id").alias("v")).hint(
-                    "shuffle_hash"
-                ),
-                "v",
-            )
-            .join(
-                st.where(F.col("color") != UNCOLORED)
-                .select(F.col("v_id").alias("nbr"), "color")
-                .hint("shuffle_hash"),
-                "nbr",
-            )
+        g = (
+            sym.join(nbr_st.hint("shuffle_hash"), "nbr")
+            .join(unc_v.hint("shuffle_hash"), "v")
             .groupBy(F.col("v").alias("v_id"))
-            .agg(F.collect_set("color").alias("used"))
+            .agg(
+                F.min(
+                    F.when(F.col("nc") == UNCOLORED, F.col("np"))
+                ).alias("mp"),
+                F.collect_set(
+                    F.when(F.col("nc") != UNCOLORED, F.col("nc"))
+                ).alias("used"),
+            )
         )
-        asg = winners.join(used.hint("shuffle_hash"), "v_id", "left").select(
-            "v_id",
-            F.array_min(
-                F.array_except(
-                    F.sequence(F.lit(0).cast("long"), F.lit(rnd - 1).cast("long")),
-                    F.coalesce(F.col("used"), F.array().cast("array<long>")),
-                )
-            ).alias("new_color"),
+        is_winner = (F.col("color") == UNCOLORED) & (
+            F.col("mp").isNull() | (F.col("pri") < F.col("mp"))
         )
-        new_st = st.join(asg.hint("shuffle_hash"), "v_id", "left").select(
+        new_st = st.join(g.hint("shuffle_hash"), "v_id", "left").select(
             "v_id",
-            F.coalesce(F.col("new_color"), F.col("color")).alias("color"),
+            F.when(
+                is_winner,
+                F.array_min(
+                    F.array_except(
+                        F.sequence(
+                            F.lit(0).cast("long"),
+                            F.lit(rnd - 1).cast("long"),
+                        ),
+                        F.coalesce(
+                            F.col("used"), F.array().cast("array<long>")
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("color"))
+            .alias("color"),
+            "pri",
         )
 
         obs = None
@@ -165,4 +200,4 @@ def greedy_coloring(
             break
 
     sym.unpersist()
-    return st, info
+    return st.select("v_id", "color"), info

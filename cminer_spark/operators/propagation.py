@@ -69,7 +69,12 @@ def propagate_features(
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
 
-    sym = _und_sym(edges).persist()
+    # Materialize the symmetric adjacency ONCE (localCheckpoint, eager)
+    # so every round reuses it. A persist() here would never populate:
+    # nothing actions this function's lazy return before the caller
+    # does, so an unpersist-on-exit would drop the cache before first
+    # use and every round would recompute the distinct shuffle.
+    sym = truncate_lineage(_und_sym(edges))
 
     st = features.select(
         "v_id", F.posexplode(feature_col).alias("pos", "val")
@@ -106,7 +111,6 @@ def propagate_features(
         if rnd % checkpoint_every == 0 and rnd != rounds:
             st = truncate_lineage(st)
 
-    sym.unpersist()
     if not as_array:
         return st
     return st.groupBy("v_id").agg(

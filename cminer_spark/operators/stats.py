@@ -423,9 +423,18 @@ def dyad_census(edges: DataFrame) -> DataFrame:
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mut_edges = e.join(rev.hint("shuffle_hash"), ["src", "dst"], "left_semi")
+    # The result is two scalar counts — compute them eagerly so the
+    # persisted simple-edge set can be released here instead of
+    # leaking cached partitions for the session lifetime. The derived
+    # row goes back through Spark expressions (not Python arithmetic)
+    # so the round() semantics match the SQL oracle exactly.
+    n_edges = e.count()
+    n_me = mut_edges.count()
+    e.unpersist()
     out = (
-        e.select(F.count(F.lit(1)).alias("edges"))
-        .crossJoin(mut_edges.select(F.count(F.lit(1)).alias("me")))
+        e.sparkSession.createDataFrame(
+            [(n_edges, n_me)], "edges long, me long"
+        )
         .select(
             (F.col("me") / 2).cast("long").alias("mutual"),
             (F.col("edges") - F.col("me")).cast("long").alias("asym"),

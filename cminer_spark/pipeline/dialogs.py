@@ -53,13 +53,18 @@ def build_training_pairs(
     """
     if history < 1:
         raise ValueError("history must be >= 1")
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(-history, -1)
-    )
     line = F.concat(
         F.col("role"), F.lit(": "), F.coalesce(F.col("text"), F.lit(""))
+    )
+    # Secondary order key: turn_idx SHOULD be unique per conv_id
+    # (sources/validate.py checks it), but if a feed violates that,
+    # ordering by (turn_idx, rendered line) keeps frame membership and
+    # concatenation order deterministic and engine-portable — the SQL
+    # oracle orders its window frame identically.
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx"), line)
+        .rowsBetween(-history, -1)
     )
     ctx = F.collect_list(F.struct("turn_idx", line.alias("line"))).over(w)
     with_ctx = transcripts.select(

@@ -44,8 +44,23 @@ def _kinds(pdf):
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_gate_query_matches_oracle(spark, duck, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     fn = entrymod.queries()[name]
     sdf = fn(spark, SF_DIR).persist()
+    # Structural guard: the driver canonicalizer sorts through pandas,
+    # which cannot hash list/dict cells (round-4 quantize_int8 /
+    # random_projection reds). No gate may emit a complex-typed column.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"gate {name!r} emits complex-typed columns {complex_cols}; "
+        "flatten (posexplode) before returning — the driver cannot "
+        "canonicalize array/map/struct cells"
+    )
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -165,3 +165,30 @@ def test_propagation_round_uses_shuffle_hash(spark):
     plan = _plan(propagate_features(e, f0, rounds=1))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lpa_round_argmax_is_combinable_no_window(spark):
+    """The per-round LPA update must stay ONE combinable aggregate —
+    mode(label, deterministic=true) under ObjectHashAggregate, with
+    map-side partial aggregation and a single exchange on v_id. The
+    round-1..4 shape (groupBy(v_id, label).count() + argmax window)
+    paid a second exchange AND a sort every round (the round-4
+    lpa4_events finding); min(struct) regresses to SortAggregate
+    because struct buffers aren't hash-aggregable.
+    label_propagation() returns a checkpointed plan, so assert on the
+    raw round plan via _lpa_round."""
+    from cminer_spark.operators.lpa import _lpa_round
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    sym = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    labels = e.select(
+        F.col("src").alias("v_id"), F.col("src").alias("label")
+    ).distinct()
+    plan = _plan(_lpa_round(sym, labels))
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "ObjectHashAggregate" in plan  # partial + final mode agg

@@ -63,7 +63,7 @@ def test_gate_parity(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     got = sorted(
-        (r.vec_id, tuple(r.projected))
+        (r.vec_id, r.pos, r.val)
         for r in E.queries()["random_projection"](spark, sf_dir).collect()
     )
     con = duckdb.connect()
@@ -71,7 +71,7 @@ def test_gate_parity(spark):
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
     want = sorted(
-        (int(a), tuple(float(v) for v in arr))
-        for a, arr in con.execute(projection_oracle_sql()).fetchall()
+        (int(a), int(p), float(v))
+        for a, p, v in con.execute(projection_oracle_sql()).fetchall()
     )
     assert got == want

@@ -61,7 +61,7 @@ def test_gate_parity(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     got = sorted(
-        (r.vec_id, r.q_scale, tuple(r.q))
+        (r.vec_id, r.q_scale, r.pos, r.code)
         for r in E.queries()["quantize_int8"](spark, sf_dir).collect()
     )
     con = duckdb.connect()
@@ -69,7 +69,7 @@ def test_gate_parity(spark):
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
     want = sorted(
-        (int(a), float(b), tuple(int(x) for x in c))
-        for a, b, c in con.execute(QUANTIZE_SQL).fetchall()
+        (int(a), float(b), int(p), int(c))
+        for a, b, p, c in con.execute(QUANTIZE_SQL).fetchall()
     )
     assert got == want
