@@ -1238,6 +1238,9 @@ _DRIVER_WINDOW: list[str] = [
     "pregel_cc_k10",
     "feature_propagation",
     "topk_out_edges",
+    # r5 addition — mirror-green; no free slot in the r5 window (the
+    # 50-slot prefix clears the driver-dark backlog first)
+    "importance_weights",
 ]
 
 

@@ -485,6 +485,24 @@ def main() -> None:
             passes=2,
         )
 
+        # DSIR importance weights (r5): hashed unigram+bigram
+        # log-likelihood ratio of every turn text against the
+        # assistant-turn slice as the target distribution — two bucket
+        # histograms + one broadcast model join + one doc-keyed sum
+        from cminer_spark.pipeline import importance_weights
+
+        extras["dsir_scored_rows"] = timed(
+            "importance_weights_turns",
+            lambda: importance_weights(
+                docs,
+                nb_docs.where(F.col("role") == "assistant").select(
+                    "doc_id", "text"
+                ),
+                n_buckets=65536,
+            ).count(),
+            passes=2,
+        )
+
         n_vecs = int(200_000 * sf * 10)
         vecs = spark.range(n_vecs).select(
             F.col("id").alias("vec_id"),

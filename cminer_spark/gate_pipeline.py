@@ -2125,6 +2125,74 @@ PCA_DIM = 64  # testdata embeddings are 64-d at every sf
 PCA_ITERS = 3
 
 
+DSIR_BUCKETS = 4096
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weights: every document scored
+    against the lang='en' slice as the target distribution, vs the
+    occurrence-level DuckDB replay of the same bucketed model."""
+    from cminer_spark.pipeline.importance import importance_weights
+
+    docs = _docs(spark, sf_dir)
+    return importance_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+
+
+def importance_oracle_sql(nb: int = DSIR_BUCKETS) -> str:
+    """Mirror of pipeline.importance: filtered-token unigram+bigram
+    stream, md5-prefix bucket, add-one smoothing over nb buckets,
+    occurrence-level per-doc sum (same FP arithmetic shape as Spark)."""
+    grams = """
+  SELECT doc_id, unnest(toks) AS g FROM {src}
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM {src})
+"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), ' +'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+tb AS (SELECT doc_id, toks FROM base WHERE lang = 'en'),
+rgrams AS ({grams.format(src='base')}),
+tgrams AS ({grams.format(src='tb')}),
+rb AS (SELECT CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {nb} AS b,
+              doc_id
+       FROM rgrams),
+tcnt AS (SELECT CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {nb} AS b,
+                count(*) AS c
+         FROM tgrams GROUP BY 1),
+rcnt AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+ttot AS (SELECT count(*) AS n FROM tgrams),
+rtot AS (SELECT count(*) AS n FROM rb),
+bkts AS (SELECT range AS b FROM range({nb})),
+lw AS (
+  SELECT k.b,
+         ln((coalesce(tc.c, 0) + 1.0) / (ttot.n + {nb}.0))
+           - ln((coalesce(rc.c, 0) + 1.0) / (rtot.n + {nb}.0)) AS lw
+  FROM bkts k
+  LEFT JOIN tcnt tc ON k.b = tc.b
+  LEFT JOIN rcnt rc ON k.b = rc.b
+  CROSS JOIN ttot CROSS JOIN rtot
+),
+scored AS (
+  SELECT rb.doc_id, count(*) AS ng, sum(lw.lw) AS w
+  FROM rb JOIN lw ON rb.b = lw.b
+  GROUP BY rb.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.ng, 0) AS BIGINT) AS n_grams,
+       round(coalesce(s.w, 0.0), 6) AS logweight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def q_pca_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row projection onto the power-iteration top principal
     direction — driver-side normalize must equal the oracle's
@@ -2258,6 +2326,7 @@ def queries():
         "bigram_logprob": q_bigram_logprob,
         "pca_top_pc": q_pca_top_pc,
         "pca_remove_top": q_pca_remove_top,
+        "importance_weights": q_importance_weights,
         "dedup_against": q_dedup_against,
         "conv_filter": q_conv_filter,
         "tool_transitions": q_tool_transitions,
@@ -2313,6 +2382,7 @@ def oracles():
         "bigram_logprob": BIGRAM_SQL,
         "pca_top_pc": pca_oracle_sql(remove=False),
         "pca_remove_top": pca_oracle_sql(remove=True),
+        "importance_weights": importance_oracle_sql(),
         "dedup_against": dedup_against_oracle_sql(),
         "conv_filter": conv_filter_oracle_sql(),
         "tool_transitions": tool_transitions_oracle_sql(),

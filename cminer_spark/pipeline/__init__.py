@@ -36,6 +36,7 @@ from cminer_spark.pipeline.dialogs import (
     filter_conversations,
     tool_transitions,
 )
+from cminer_spark.pipeline.importance import importance_weights
 from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.spans import (
     duplicate_spans,
@@ -104,6 +105,7 @@ __all__ = [
     "filter_conversations",
     "tool_transitions",
     "kmeans",
+    "importance_weights",
     "line_dedup",
     "duplicate_spans",
     "span_dup_stats",

@@ -73,3 +73,39 @@ def test_gate_parity(spark):
         for a, b, p, c in con.execute(QUANTIZE_SQL).fetchall()
     )
     assert got == want
+
+
+def test_flattened_gate_rows_reconstruct_vectors(spark):
+    """The flattened (vec_id, q_scale, pos, code) gate contract must
+    still carry the full quantization: vectors reassembled from the
+    gate rows dequantize to >0.999 cosine against the source
+    embeddings (the round-trip property the pre-flattening array gate
+    proved directly)."""
+    import collections
+
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    rows = E.queries()["quantize_int8"](spark, sf_dir).collect()
+    vecs = collections.defaultdict(dict)
+    scales = {}
+    for r in rows:
+        vecs[r.vec_id][r.pos] = r.code
+        scales[r.vec_id] = r.q_scale
+    assert set(vecs) == set(emb)
+    worst = 1.0
+    for vid, byname in vecs.items():
+        dim = len(emb[vid])
+        assert sorted(byname) == list(range(dim))  # dense, 0-based
+        hat = [byname[p] * scales[vid] / 127.0 for p in range(dim)]
+        n1 = math.sqrt(sum(a * a for a in emb[vid]))
+        n2 = math.sqrt(sum(a * a for a in hat))
+        if n1 == 0 or n2 == 0:
+            continue
+        cos = sum(a * b for a, b in zip(emb[vid], hat)) / (n1 * n2)
+        worst = min(worst, cos)
+    assert worst > 0.999
