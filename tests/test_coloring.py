@@ -87,3 +87,15 @@ def test_colors_bounded_by_degree_plus_one(spark):
         deg[u] += 1
         deg[v] += 1
     assert max(colors.values()) <= max(deg.values())
+
+
+def test_ldf_hub_decides_first_round(spark):
+    # largest-degree-first priorities: a star's hub outranks every
+    # leaf regardless of md5 draws, so it colors in round 1 (color 0)
+    # and the leaves finish in round 2 — exactly 2 rounds, always.
+    pairs = [(0, i) for i in range(1, 30)]
+    colors, info = _colors(spark, pairs, max_rounds=5)
+    assert info.converged and info.rounds == 2
+    assert colors[0] == 0
+    assert all(colors[i] == 1 for i in range(1, 30))
+    _assert_proper(pairs, colors)
