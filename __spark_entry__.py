@@ -1238,9 +1238,13 @@ _DRIVER_WINDOW: list[str] = [
     "pregel_cc_k10",
     "feature_propagation",
     "topk_out_edges",
-    # r5 addition — mirror-green; no free slot in the r5 window (the
-    # 50-slot prefix clears the driver-dark backlog first)
+    # r5 additions — mirror-green (tests/test_gate.py, every pytest
+    # run, vs DuckDB at sf0.001; also hand-checked at sf0.01 via
+    # tools/check_gate.py); no free slot in the r5 window — the
+    # 50-slot prefix clears the driver-dark backlog first
     "importance_weights",
+    "bpe_train",
+    "bpe_encode",
 ]
 
 

@@ -1799,6 +1799,127 @@ SELECT pair, n, pair_rank FROM (
 """
 
 
+BPE_MERGES = 4
+BPE_TOKENS_TOP_K = 25
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED BPE merge loop under the oracle gate (the kmeans_assign
+    pattern: Spark runs the real driver-decides/executors-apply
+    trainer; DuckDB replays the same iterations unrolled). left/right
+    are aliased lhs/rhs so neither engine trips on the SQL keywords."""
+    from cminer_spark.pipeline.bpe import train_bpe
+
+    merges, _ = train_bpe(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+    return merges.select(
+        "merge_rank",
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        "n",
+    )
+
+
+def _bpe_train_ctes(n_merges: int = BPE_MERGES) -> str:
+    """WITH-body replaying the BPE trainer: s0 = char-segmented
+    word-frequency table; per iteration pN picks the top pair
+    (count desc, pair asc) and sN re-segments via the same
+    left-to-right non-overlapping fold the Spark operator applies
+    (list_reduce with the identical string arithmetic — see
+    cminer_spark/pipeline/bpe.py:_merge_fold)."""
+    parts = [
+        """wc AS MATERIALIZED (
+  SELECT t AS word, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), ' +')) AS t
+    FROM documents
+  ) WHERE t <> '' GROUP BY t
+),
+s0 AS (
+  SELECT n,
+         array_to_string(list_transform(generate_series(1, length(word)),
+                                        i -> substr(word, CAST(i AS INT), 1)),
+                         ' ') AS seg
+  FROM wc
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"""p{t} AS (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         pair, n
+  FROM (
+    SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM (
+      SELECT n,
+             unnest(list_transform(
+               generate_series(1, len(string_split(seg, ' ')) - 1),
+               i -> string_split(seg, ' ')[i] || ' '
+                    || string_split(seg, ' ')[i + 1])) AS pair
+      FROM s{t - 1}
+    ) GROUP BY pair
+  ) ORDER BY n DESC, pair ASC LIMIT 1
+),
+s{t} AS MATERIALIZED (
+  SELECT s.n,
+         CASE WHEN len(string_split(s.seg, ' ')) = 1 THEN s.seg
+         ELSE list_reduce(string_split(s.seg, ' '),
+           (acc, x) -> CASE
+             WHEN right(' ' || acc, length(p.a) + 1) = ' ' || p.a
+                  AND x = p.b
+             THEN left(acc, length(acc) - length(p.a)) || p.a || p.b
+             ELSE acc || ' ' || x END)
+         END AS seg
+  FROM s{t - 1} s, p{t} p
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def bpe_train_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" a || b AS merged, n FROM p{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_train_ctes(n_merges)}\n{rows}"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency table of the corpus encoded with the merges
+    q_bpe_train just learned — the apply half of the tokenizer."""
+    from cminer_spark.pipeline.bpe import bpe_token_counts, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    _, info = train_bpe(docs, n_merges=BPE_MERGES)
+    out = bpe_token_counts(
+        docs,
+        [(a, b) for a, b, _, _ in info.merges],
+        top_k=BPE_TOKENS_TOP_K,
+    )
+    return out.select(
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.col("token_rank").cast("long").alias("token_rank"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = BPE_MERGES, k: int = BPE_TOKENS_TOP_K
+) -> str:
+    return f"""
+WITH {_bpe_train_ctes(n_merges)},
+tok AS (
+  SELECT token, CAST(sum(n) AS BIGINT) AS n FROM (
+    SELECT n, unnest(string_split(seg, ' ')) AS token FROM s{n_merges}
+  ) GROUP BY token
+)
+SELECT token, n, CAST(token_rank AS BIGINT) AS token_rank FROM (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS token_rank
+  FROM tok
+) WHERE token_rank <= {k}
+"""
+
+
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cminer_spark.pipeline.textstats import length_percentiles
 
@@ -2320,6 +2441,8 @@ def queries():
         "random_projection": q_random_projection,
         "mixture_sample": q_mixture_sample,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "length_percentiles": q_length_percentiles,
         "nb_classify": q_nb_classify,
         "nb_eval": q_nb_eval,
@@ -2376,6 +2499,8 @@ def oracles():
         "random_projection": projection_oracle_sql(),
         "mixture_sample": mixture_oracle_sql(),
         "bpe_pairs": bpe_oracle_sql(),
+        "bpe_train": bpe_train_oracle_sql(),
+        "bpe_encode": bpe_encode_oracle_sql(),
         "length_percentiles": LENGTH_PCTL_SQL,
         "nb_classify": NB_CLASSIFY_SQL,
         "nb_eval": NB_EVAL_SQL,

@@ -36,6 +36,11 @@ from cminer_spark.pipeline.dialogs import (
     filter_conversations,
     tool_transitions,
 )
+from cminer_spark.pipeline.bpe import (
+    bpe_token_counts,
+    segment_words,
+    train_bpe,
+)
 from cminer_spark.pipeline.importance import importance_weights
 from cminer_spark.pipeline.lines import line_dedup
 from cminer_spark.pipeline.spans import (
@@ -106,6 +111,9 @@ __all__ = [
     "tool_transitions",
     "kmeans",
     "importance_weights",
+    "train_bpe",
+    "segment_words",
+    "bpe_token_counts",
     "line_dedup",
     "duplicate_spans",
     "span_dup_stats",
