@@ -1,4 +1,5 @@
 from cminer_spark.pipeline.dedup import (
+    band_corpus,
     dedup_against,
     dedup_clusters,
     exact_duplicates,
@@ -69,6 +70,7 @@ from cminer_spark.pipeline.textstats import (
 
 __all__ = [
     "classify_corpus",
+    "band_corpus",
     "dedup_against",
     "lsh_candidates_against",
     "evaluate_predictions",

@@ -532,6 +532,33 @@ def dedup_clusters(
     )
 
 
+def band_corpus(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = DEFAULT_SHINGLE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """The reusable MinHash band table of a corpus:
+    ``(doc_id, band_idx, band_hash)``.
+
+    This is the expensive half of cross-corpus dedup (profiled at
+    sf0.1: banding the existing 587k-doc side is 8.4s of the 11.6s
+    operator) and it is append-only per corpus version — compute it
+    once, persist it (e.g. ``sources.tables.write_table``), and hand
+    it to :func:`dedup_against` / :func:`lsh_candidates_against` as
+    ``existing_bands`` for every subsequent daily delta. Parameters
+    (``num_hashes``, ``bands``, ``n``, ``hash_family``) must match
+    between banding and use — signatures are per-document, so the
+    band table composes exactly across appends (union the delta's
+    bands in after admission)."""
+    return _minhash_banded(
+        docs, num_hashes, bands, n, id_col, text_col, hash_family
+    )
+
+
 def lsh_candidates_against(
     existing: DataFrame,
     new: DataFrame,
@@ -543,6 +570,7 @@ def lsh_candidates_against(
     hash_family: str = "md5",
     broadcast_delta: bool = False,
     max_bucket_size: int | None = None,
+    existing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus LSH candidates: ``(existing_id, new_id, n_bands)``
     where a NEW document shares ≥1 MinHash band with an EXISTING one.
@@ -552,11 +580,11 @@ def lsh_candidates_against(
     ``(band_idx, band_hash)`` — new×new and existing×existing pairs
     are never generated. MinHash signatures are per-document, so
     banding each side separately is exact (no corpus-level state). At
-    petabyte scale, persist the existing side's band table once
-    (append-only) and pass ``broadcast_delta=True`` when the delta's
-    band rows fit in memory — the existing corpus is then never
-    shuffled at all (same design as the incremental CC/triangle
-    family).
+    petabyte scale, compute the existing side's band table ONCE with
+    :func:`band_corpus`, persist it (append-only), and pass it back as
+    ``existing_bands`` — with ``broadcast_delta=True`` the existing
+    corpus is then never re-read, re-shingled, or shuffled at all
+    (same design as the incremental CC/triangle family).
 
     ``max_bucket_size=N`` is the mega-bucket guard (the same hazard
     :func:`minhash_lsh_candidates` documents, cross-corpus flavor:
@@ -569,9 +597,13 @@ def lsh_candidates_against(
     doc duplicates mega-boilerplate, which exact-dedup upstream
     catches cheaper.
     """
-    be = _minhash_banded(
-        existing, num_hashes, bands, n, id_col, text_col, hash_family
-    ).select(F.col("doc_id").alias("existing_id"), "band_idx", "band_hash")
+    if existing_bands is None:
+        existing_bands = _minhash_banded(
+            existing, num_hashes, bands, n, id_col, text_col, hash_family
+        )
+    be = existing_bands.select(
+        F.col("doc_id").alias("existing_id"), "band_idx", "band_hash"
+    )
     if max_bucket_size is not None:
         be = _cap_buckets(be, max_bucket_size)
     bn = _minhash_banded(
@@ -598,6 +630,7 @@ def dedup_against(
     hash_family: str = "md5",
     broadcast_delta: bool = False,
     max_bucket_size: int | None = None,
+    existing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """New documents that survive cross-corpus near-dup filtering:
     ``(doc_id, n_lsh_candidates)`` — the delta rows admitted into the
@@ -624,6 +657,7 @@ def dedup_against(
         lsh_candidates_against(
             existing, new, num_hashes, bands, n, id_col, text_col,
             hash_family, broadcast_delta, max_bucket_size,
+            existing_bands=existing_bands,
         )
     )
     # Same for the candidate-only shingle tables: each is consumed

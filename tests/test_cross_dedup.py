@@ -114,3 +114,31 @@ def test_max_bucket_size_bounds_candidates(spark):
         ).collect()
     }
     assert 2000 in kept and 2001 not in kept
+
+
+def test_precomputed_band_table_is_identical(spark):
+    # band_corpus() persisted once per corpus version must drive
+    # dedup_against to byte-identical output vs inline banding
+    from cminer_spark.pipeline.dedup import band_corpus
+
+    existing, new = _corpora(spark)
+    bands_tbl = band_corpus(existing, num_hashes=8, bands=4)
+    inline = dedup_against(existing, new, num_hashes=8, bands=4)
+    seamed = dedup_against(
+        existing, new, num_hashes=8, bands=4, existing_bands=bands_tbl
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, seamed.collect())
+    )
+    # the band table round-trips through parquet (the persist path)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        bands_tbl.write.mode("overwrite").parquet(d + "/bands")
+        loaded = spark.read.parquet(d + "/bands")
+        seamed2 = dedup_against(
+            existing, new, num_hashes=8, bands=4, existing_bands=loaded
+        )
+        assert sorted(map(tuple, inline.collect())) == sorted(
+            map(tuple, seamed2.collect())
+        )
