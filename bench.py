@@ -503,6 +503,20 @@ def main() -> None:
             passes=2,
         )
 
+        # BPE tokenizer training (r5): 8 merges over the ~1.2M turn
+        # texts — the corpus reduces once to the word table, then every
+        # merge round is one vocab-sized pair aggregate + a 1-row
+        # driver decision + a map-only fold re-segmentation
+        from cminer_spark.pipeline import train_bpe
+
+        def _bpe():
+            merges, _ = train_bpe(docs, n_merges=8)
+            return merges.count()
+
+        extras["bpe_merges_trained"] = timed(
+            "bpe_train8_turns", _bpe, passes=2
+        )
+
         n_vecs = int(200_000 * sf * 10)
         vecs = spark.range(n_vecs).select(
             F.col("id").alias("vec_id"),
