@@ -174,6 +174,44 @@ def _main_pairs(argv: list[str]) -> int:
     return 0
 
 
+def _main_bpe_train(argv: list[str]) -> int:
+    """Train BPE merges over a document table and write the merge
+    table (merge_rank, left, right, merged, n) — the corpus reduces
+    once to the word table, so this runs at ingest cost + n_merges
+    vocab-sized rounds."""
+    ap = argparse.ArgumentParser(prog="cminer_spark bpe-train")
+    ap.add_argument("--docs", required=True, help="document table ref")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--merges", type=int, default=1000)
+    ap.add_argument("--no-lowercase", action="store_true")
+    ap.add_argument("--output", required=True, help="merge-table ref")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from cminer_spark.pipeline.bpe import train_bpe
+    from cminer_spark.sources.tables import read_table, write_table
+
+    spark, owned = _session("cminer-bpe", args.master)
+    merges, info = train_bpe(
+        read_table(spark, args.docs),
+        n_merges=args.merges,
+        text_col=args.text_col,
+        lowercase=not args.no_lowercase,
+    )
+    write_table(merges, args.output)
+    print(
+        json.dumps(
+            {
+                "merges_trained": len(info.merges),
+                "stopped_early": info.stopped_early,
+            }
+        )
+    )
+    if owned:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "mine":
@@ -182,6 +220,8 @@ def main(argv: list[str] | None = None) -> int:
         return _main_compact(argv[1:])
     if argv and argv[0] == "pairs":
         return _main_pairs(argv[1:])
+    if argv and argv[0] == "bpe-train":
+        return _main_bpe_train(argv[1:])
     ap = argparse.ArgumentParser(prog="cminer_spark")
     ap.add_argument("--transcripts", help="transcripts table ref (iceberg:/table:/parquet:)")
     ap.add_argument("--edges", help="pre-extracted edges table ref (skips extraction)")

@@ -108,3 +108,29 @@ def test_merge_fold_stays_jvm_side(spark):
     words = spark.createDataFrame([("abcabc", 2)], "word string, n long")
     plan = segment_words(words, [("a", "b"), ("ab", "c")])._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_cli_bpe_train_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from cminer_spark.__main__ import main
+    from cminer_spark.pipeline.bpe import train_bpe
+
+    base = str(tmp_path)
+    docs = _docs(
+        spark, ["the cat sat on the mat", "the dog sat", "the the the"]
+    )
+    docs.write.parquet(f"{base}/docs")
+    rc = main(
+        ["bpe-train", "--docs", f"{base}/docs", "--merges", "3",
+         "--output", f"{base}/merges"]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta == {"merges_trained": 3, "stopped_early": False}
+    # CLI output table == in-process trainer output
+    direct, _ = train_bpe(docs, n_merges=3)
+    via_cli = spark.read.parquet(f"{base}/merges")
+    assert sorted(map(tuple, via_cli.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
