@@ -559,6 +559,11 @@ def main() -> None:
     }
     spark.stop()
 
+    # Persist the core record BEFORE the ~15-min scaling pair: if the
+    # caller kills this process mid-pair, the query numbers survive on
+    # disk (the file is rewritten below with the scaling fields merged).
+    _write_record(result)
+
     # -- north-rule scaling pair (opt-out: BENCH_SCALING=0) -------------
     # one interleaved local[4] → local[16] PageRank pair on the 66M-edge
     # campaign input, fresh JVM per side (tools/bench_scaling.py
@@ -569,17 +574,11 @@ def main() -> None:
         if scaling:
             result.update(scaling)
 
-    line = json.dumps(result)
     # the driver captures only the stdout TAIL (~4 KB), which clipped
     # the r3 JSON mid-line — persist the full record to a file, and
     # keep the printed line itself under the capture window by
     # dropping the verbose per-pass lists when it would not fit.
-    try:
-        os.makedirs(os.path.join(_HERE, "BENCH"), exist_ok=True)
-        with open(os.path.join(_HERE, "BENCH", "last_run.json"), "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass
+    line = _write_record(result)
     if len(line) > 3800:
         compact = {
             k: v
@@ -595,6 +594,17 @@ def main() -> None:
     print(line)
 
 
+def _write_record(result: dict) -> str:
+    line = json.dumps(result)
+    try:
+        os.makedirs(os.path.join(_HERE, "BENCH"), exist_ok=True)
+        with open(os.path.join(_HERE, "BENCH", "last_run.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    return line
+
+
 def _scaling_pair() -> dict | None:
     """One (local[4], local[16]) PageRank pair on the CAMPAIGN-size
     input. The full 66M-edge graph is required for comparability: the
@@ -608,15 +618,26 @@ def _scaling_pair() -> dict | None:
     tool = os.path.join(_HERE, "tools", "bench_scaling.py")
     env = dict(
         os.environ,
-        SCALING_ITERS=os.environ.get("BENCH_SCALING_ITERS", "8"),
+        # 12 supersteps, not 8: the min-steady estimator takes the MIN
+        # of the last half, and 4 samples is too few under hypervisor
+        # steal — the one 8-iter spot pair read 0.745 while every
+        # 12-iter campaign pair on the same code sat at 0.78-1.07
+        SCALING_ITERS=os.environ.get("BENCH_SCALING_ITERS", "12"),
         SCALING_BASE_CORES="4",
     )
 
     def run(args: list[str]) -> dict | None:
-        out = subprocess.run(
-            [sys.executable, tool, *args],
-            capture_output=True, text=True, env=env, cwd=_HERE,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, tool, *args],
+                capture_output=True, text=True, env=env, cwd=_HERE,
+                # a local[4] campaign run is ~12 min healthy; a hung
+                # JVM must not stall the bench past the core record
+                timeout=int(os.environ.get("BENCH_SCALING_TIMEOUT", "2400")),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"scaling run {args} timed out", file=sys.stderr)
+            return None
         if out.returncode != 0:
             print(out.stderr[-2000:], file=sys.stderr)
             return None
