@@ -610,9 +610,9 @@ def _scaling_pair() -> dict | None:
     input. The full 66M-edge graph is required for comparability: the
     ~2-3s serial per-superstep cost (driver, barriers, state write)
     makes smaller graphs understate efficiency via Amdahl (a 33M-edge
-    pair measures ~0.66 on code whose 66M-edge campaign median is
-    0.892). Input parquet is materialized once and cached in /tmp
-    across rounds."""
+    pair measured ~0.66 on code whose 66M-edge r3 campaign median was
+    0.892; the r5 campaign median is 0.915). Input parquet is
+    materialized once and cached in /tmp across rounds."""
     import subprocess
 
     tool = os.path.join(_HERE, "tools", "bench_scaling.py")
@@ -658,7 +658,7 @@ def _scaling_pair() -> dict | None:
         "scaling_pair": {"cores": [4, 16], "lo": lo, "hi": hi},
         "scaling_note": (
             "single interleaved pair, min-steady-superstep estimator; "
-            "authoritative 5-pair campaign median 0.892 in BENCH/BASELINE.md"
+            "authoritative 5-pair campaign median 0.915 in BENCH/BASELINE.md"
         ),
     }
 
