@@ -559,26 +559,48 @@ def main() -> None:
     }
     spark.stop()
 
-    # Persist the core record BEFORE the ~15-min scaling pair: if the
-    # caller kills this process mid-pair, the query numbers survive on
-    # disk (the file is rewritten below with the scaling fields merged).
+    # Persist AND print the core record BEFORE the ~15-min scaling
+    # pair: if the caller kills this process mid-pair, the query
+    # numbers survive both on disk and as a complete stdout JSON line
+    # (the driver parses the last complete line in its ~4 KB stdout
+    # tail, so the merged line printed after the pair supersedes this
+    # one when the run finishes).
     _write_record(result)
+    scaling_on = os.environ.get("BENCH_SCALING", "1") != "0"
+    if scaling_on:
+        _print_line(result)
 
     # -- north-rule scaling pair (opt-out: BENCH_SCALING=0) -------------
     # one interleaved local[4] → local[16] PageRank pair on the 66M-edge
     # campaign input, fresh JVM per side (tools/bench_scaling.py
     # protocol) — every BENCH_rN.json carries an efficiency spot check
     # against the BENCH/BASELINE.md 5-pair campaign without a hand run.
-    if os.environ.get("BENCH_SCALING", "1") != "0":
+    if scaling_on:
         scaling = _scaling_pair()
         if scaling:
             result.update(scaling)
 
+    _write_record(result)
+    _print_line(result)
+
+
+def _write_record(result: dict) -> str:
+    line = json.dumps(result)
+    try:
+        os.makedirs(os.path.join(_HERE, "BENCH"), exist_ok=True)
+        with open(os.path.join(_HERE, "BENCH", "last_run.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    return line
+
+
+def _print_line(result: dict) -> None:
     # the driver captures only the stdout TAIL (~4 KB), which clipped
-    # the r3 JSON mid-line — persist the full record to a file, and
-    # keep the printed line itself under the capture window by
-    # dropping the verbose per-pass lists when it would not fit.
-    line = _write_record(result)
+    # the r3 JSON mid-line — the full record lives on disk, and the
+    # printed line stays under the capture window by dropping the
+    # verbose per-pass lists when it would not fit.
+    line = json.dumps(result)
     if len(line) > 3800:
         compact = {
             k: v
@@ -591,18 +613,7 @@ def main() -> None:
         }
         compact["full_record"] = "BENCH/last_run.json"
         line = json.dumps(compact)
-    print(line)
-
-
-def _write_record(result: dict) -> str:
-    line = json.dumps(result)
-    try:
-        os.makedirs(os.path.join(_HERE, "BENCH"), exist_ok=True)
-        with open(os.path.join(_HERE, "BENCH", "last_run.json"), "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass
-    return line
+    print(line, flush=True)
 
 
 def _scaling_pair() -> dict | None:
