@@ -2264,7 +2264,10 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def importance_oracle_sql(nb: int = DSIR_BUCKETS) -> str:
     """Mirror of pipeline.importance: filtered-token unigram+bigram
     stream, md5-prefix bucket, add-one smoothing over nb buckets,
-    occurrence-level per-doc sum (same FP arithmetic shape as Spark)."""
+    bucket-level per-doc sum Σ c·lw over per-(doc, bucket) integer
+    counts (same FP arithmetic shape as Spark — both engines sum the
+    identical multiset of c·lw addends per document, and the
+    histograms are exact integers either way)."""
     grams = """
   SELECT doc_id, unnest(toks) AS g FROM {src}
   UNION ALL
@@ -2283,15 +2286,16 @@ WITH base AS (
 tb AS (SELECT doc_id, toks FROM base WHERE lang = 'en'),
 rgrams AS ({grams.format(src='base')}),
 tgrams AS ({grams.format(src='tb')}),
-rb AS (SELECT CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {nb} AS b,
-              doc_id
-       FROM rgrams),
+rdb AS (SELECT doc_id,
+               CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {nb} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM rgrams GROUP BY 1, 2),
 tcnt AS (SELECT CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {nb} AS b,
                 count(*) AS c
          FROM tgrams GROUP BY 1),
-rcnt AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+rcnt AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM rdb GROUP BY b),
 ttot AS (SELECT count(*) AS n FROM tgrams),
-rtot AS (SELECT count(*) AS n FROM rb),
+rtot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM rdb),
 bkts AS (SELECT range AS b FROM range({nb})),
 lw AS (
   SELECT k.b,
@@ -2303,9 +2307,10 @@ lw AS (
   CROSS JOIN ttot CROSS JOIN rtot
 ),
 scored AS (
-  SELECT rb.doc_id, count(*) AS ng, sum(lw.lw) AS w
-  FROM rb JOIN lw ON rb.b = lw.b
-  GROUP BY rb.doc_id
+  SELECT rdb.doc_id, CAST(sum(rdb.c) AS BIGINT) AS ng,
+         sum(rdb.c * lw.lw) AS w
+  FROM rdb JOIN lw ON rdb.b = lw.b
+  GROUP BY rdb.doc_id
 )
 SELECT d.doc_id,
        CAST(coalesce(s.ng, 0) AS BIGINT) AS n_grams,

@@ -21,8 +21,15 @@ table only:
   (:func:`cminer_spark.pipeline.similarity.kmeans`);
 * applying the merge is a pure string fold over each word's
   segmentation (no Python, no shuffle — a map-only projection), with
-  periodic lineage truncation so the plan stays O(1) deep across many
-  merges.
+  the segmentation state routed through
+  :class:`cminer_spark.plans.checkpoint.EphemeralStateStore` every
+  few merges so the plan stays O(1) deep across many merges AND
+  storage stays bounded at two iterations — ``localCheckpoint``
+  would pin every superseded state's blocks until JVM GC of the RDD
+  handle (``DataFrame.unpersist`` cannot free them: it only drops
+  CacheManager entries, and localCheckpoint persistence is RDD-level),
+  which the store's own docstring measures as a 2-4x slowdown over a
+  long run.
 
 Merge semantics are the standard left-to-right non-overlapping pass:
 scanning a word's symbol sequence once, ``(a, b)`` occurrences merge
@@ -65,7 +72,10 @@ class BPETrainInfo:
 def _char_seg(word: Column) -> Column:
     """Initial segmentation: the word's characters joined by ' '."""
     return F.array_join(
-        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.substring(word, i, F.lit(1)),
+        ),
         " ",
     )
 
@@ -129,6 +139,10 @@ def train_bpe(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    from cminer_spark.plans.checkpoint import EphemeralStateStore
+
     spark = docs.sparkSession
     info = BPETrainInfo()
 
@@ -136,33 +150,35 @@ def train_bpe(
     segs = words.select(_char_seg(F.col("word")).alias("seg"), "n").persist()
     segs.count()  # materialize the vocabulary reduction once
 
-    prev = segs
-    for rank in range(1, n_merges + 1):
-        top = (
-            _pair_counts(prev)
-            .orderBy(F.desc("n"), F.asc("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            info.stopped_early = True
-            break
-        pair, n = top[0]["pair"], int(top[0]["n"])
-        a, b = pair.split(" ", 1)
-        info.merges.append((a, b, a + b, n))
+    # keep the plan O(1) deep across 10k-merge runs: every few merges
+    # the segmentation state round-trips through the parquet
+    # double-buffer, which bounds lineage AND storage (two iterations
+    # on disk, superseded states deleted eagerly — see module
+    # docstring for why localCheckpoint can't do this).
+    store = EphemeralStateStore(spark, tag="bpe")
+    try:
+        prev = segs
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(prev)
+                .orderBy(F.desc("n"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                info.stopped_early = True
+                break
+            pair, n = top[0]["pair"], int(top[0]["n"])
+            a, b = pair.split(" ", 1)
+            info.merges.append((a, b, a + b, n))
 
-        nxt = prev.select(_merge_fold(F.col("seg"), a, b).alias("seg"), "n")
-        # keep the plan O(1) deep: the vocab table is small, so an
-        # eager localCheckpoint every few merges is cheap and bounds
-        # both analyzer time and lineage depth for 10k-merge runs
-        if rank % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-            prev.unpersist()
+            nxt = prev.select(_merge_fold(F.col("seg"), a, b).alias("seg"), "n")
+            if rank % checkpoint_every == 0:
+                nxt = store.save(nxt, rank)
             prev = nxt
-        else:
-            prev = nxt
-
-    segs.unpersist()
+    finally:
+        segs.unpersist()
+        store.close()  # segmentations are not returned
     out = spark.createDataFrame(
         [
             (r + 1, a, b, ab, n)
@@ -183,12 +199,31 @@ def segment_words(
     Runs on the vocabulary table, not the corpus: encode distinct
     words once, then join the (small, broadcastable) ``word → seg``
     map back onto the 100 TB corpus.
+
+    Long merge lists round-trip the state through an
+    :class:`~cminer_spark.plans.checkpoint.EphemeralStateStore` every
+    ``checkpoint_every`` merges (bounded lineage + at most two
+    iterations on disk). The returned frame reads from the final
+    stored state, so the store's last buffer must outlive this call —
+    it is reclaimed at interpreter exit (``atexit``), not before.
     """
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    import atexit
+
+    from cminer_spark.plans.checkpoint import EphemeralStateStore
+
     out = words.withColumn("seg", _char_seg(F.col("word")))
+    store: EphemeralStateStore | None = None
     for i, (a, b) in enumerate(merges, start=1):
         out = out.withColumn("seg", _merge_fold(F.col("seg"), a, b))
         if i % checkpoint_every == 0:
-            out = out.localCheckpoint(eager=True)
+            if store is None:
+                store = EphemeralStateStore(
+                    words.sparkSession, tag="bpe_seg"
+                )
+                atexit.register(store.close)
+            out = store.save(out, i)
     return out
 
 

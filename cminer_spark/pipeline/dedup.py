@@ -553,7 +553,11 @@ def band_corpus(
     (``num_hashes``, ``bands``, ``n``, ``hash_family``) must match
     between banding and use — signatures are per-document, so the
     band table composes exactly across appends (union the delta's
-    bands in after admission)."""
+    bands in after admission). Consumers validate the ``bands``
+    invariant at use time (max band_idx == bands - 1); the other
+    parameters are not recoverable from the table, so persist them
+    next to it (e.g. in the table path or a sidecar) and check at
+    load time."""
     return _minhash_banded(
         docs, num_hashes, bands, n, id_col, text_col, hash_family
     )
@@ -601,6 +605,24 @@ def lsh_candidates_against(
         existing_bands = _minhash_banded(
             existing, num_hashes, bands, n, id_col, text_col, hash_family
         )
+    else:
+        # Drift guard: a band table built under a different `bands`
+        # would produce band hashes that (near-)never collide with the
+        # delta's, silently admitting every duplicate. Every banded doc
+        # emits band_idx 0..bands-1, so one column-pruned max over the
+        # persisted table catches the most likely config drift (cheap,
+        # once per delta). num_hashes / n / hash_family drift is not
+        # detectable from the table itself — persist those alongside
+        # the band table (see band_corpus) and check at load time.
+        mx_row = existing_bands.agg(F.max("band_idx").alias("mx")).first()
+        mx = mx_row["mx"] if mx_row is not None else None
+        if mx is not None and mx != bands - 1:
+            raise ValueError(
+                f"existing_bands was built with {mx + 1} bands per "
+                f"document but this call uses bands={bands}; band "
+                "hashes would never match. Re-band the corpus or pass "
+                "the matching `bands`."
+            )
     be = existing_bands.select(
         F.col("doc_id").alias("existing_id"), "band_idx", "band_hash"
     )

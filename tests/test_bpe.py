@@ -102,6 +102,19 @@ def test_checkpoint_every_preserves_results(spark):
     )
 
 
+def test_train_leaves_no_persistent_state(spark):
+    # the segmentation state goes through the parquet double-buffer,
+    # not localCheckpoint: a long training run must not accumulate
+    # pinned storage blocks (DataFrame.unpersist cannot free
+    # localCheckpoint blocks — they are RDD-level, not CacheManager)
+    docs = _docs(spark, ["aa ab aa ab abab ba"])
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    train_bpe(docs, n_merges=5, checkpoint_every=1)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before
+
+
 def test_merge_fold_stays_jvm_side(spark):
     # zero Python in the hot path: the fold must compile to built-in
     # expressions (no BatchEvalPython / ArrowEvalPython operators)

@@ -142,3 +142,34 @@ def test_precomputed_band_table_is_identical(spark):
         assert sorted(map(tuple, inline.collect())) == sorted(
             map(tuple, seamed2.collect())
         )
+
+
+def test_band_table_bands_drift_raises(spark):
+    """A persisted band table built with a different `bands` must fail
+    loudly at use time — silent config drift would zero out candidate
+    recall and admit every duplicate."""
+    import pytest
+
+    from cminer_spark.pipeline.dedup import band_corpus
+
+    existing, new = _corpora(spark)
+    bands_tbl = band_corpus(existing, num_hashes=8, bands=8)
+    with pytest.raises(ValueError, match="bands"):
+        lsh_candidates_against(
+            existing, new, num_hashes=8, bands=4, existing_bands=bands_tbl
+        )
+    with pytest.raises(ValueError, match="bands"):
+        dedup_against(
+            existing, new, num_hashes=8, bands=4, existing_bands=bands_tbl
+        )
+    # an empty band table (fresh corpus) is legitimate with any config
+    empty = band_corpus(
+        existing.where("doc_id < 0"), num_hashes=8, bands=8
+    )
+    out = {
+        r["doc_id"]
+        for r in dedup_against(
+            existing, new, num_hashes=8, bands=4, existing_bands=empty
+        ).collect()
+    }
+    assert out == {100, 101, 102, 103}  # nothing to collide with

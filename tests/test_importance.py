@@ -61,3 +61,36 @@ def test_model_join_is_broadcast_no_corpus_shuffle_for_lookup(spark):
             importance_weights(raw, target, n_buckets=16)
             ._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def test_target_needs_no_doc_id_column(spark):
+    # a curated target corpus is naturally a bare text table —
+    # histogram sides never use document identity
+    raw = _df(spark, [(0, "alpha beta alpha"), (1, "zork quux")])
+    target = spark.createDataFrame(
+        [("alpha beta alpha beta",)], "text string"
+    )
+    out = {
+        r.doc_id: r.logweight
+        for r in importance_weights(raw, target, n_buckets=64).collect()
+    }
+    assert out[0] > out[1]
+
+
+def test_exactly_three_gram_explodes_per_action(spark):
+    # the lazy minimum: raw corpus exploded twice (model histogram +
+    # per-doc scoring), target once. The model's totals must come from
+    # windows over the tiny histograms, not self-joins that would
+    # re-evaluate a corpus subtree (4+ Generate nodes = regression).
+    import re
+
+    raw = _df(spark, [(0, "a b c"), (1, "c d e")])
+    target = _df(spark, [(9, "a b")])
+    df = importance_weights(raw, target, n_buckets=16)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # AQE prints Final + Initial plan trees; count the final tree only
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Generate \(\d+\)", final)) == 3
