@@ -102,6 +102,23 @@ def test_checkpoint_every_preserves_results(spark):
     )
 
 
+def test_segment_words_store_path_preserves_results(spark):
+    # with checkpoint_every=1 every merge round-trips the parquet
+    # double-buffer; the segmentation must be identical to the pure
+    # in-plan fold (checkpoint_every large enough to never engage it)
+    from cminer_spark.pipeline.bpe import segment_words
+
+    words = spark.createDataFrame(
+        [("abcabc", 2), ("aab", 1), ("x", 3)], "word string, n long"
+    )
+    merges = [("a", "b"), ("ab", "c"), ("a", "ab")]
+    via_store = segment_words(words, merges, checkpoint_every=1)
+    in_plan = segment_words(words, merges, checkpoint_every=100)
+    assert sorted(map(tuple, via_store.collect())) == sorted(
+        map(tuple, in_plan.collect())
+    )
+
+
 def test_train_leaves_no_persistent_state(spark):
     # the segmentation state goes through the parquet double-buffer,
     # not localCheckpoint: a long training run must not accumulate

@@ -77,6 +77,22 @@ def test_target_needs_no_doc_id_column(spark):
     assert out[0] > out[1]
 
 
+def test_empty_target_is_uniform_model(spark):
+    # an empty target corpus degenerates to the add-one-smoothed
+    # uniform model: every bucket's ln_t = ln(1/nb), so ranking is
+    # purely anti-raw-frequency — and nothing divides by zero
+    raw = _df(spark, [(0, "alpha alpha alpha"), (1, "beta")])
+    target = spark.createDataFrame([], "text string")
+    rows = {
+        r.doc_id: (r.n_grams, r.logweight)
+        for r in importance_weights(raw, target, n_buckets=32).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0][0] == 5 and rows[1][0] == 1
+    # the rarer-in-raw doc scores higher under a uniform target
+    assert rows[1][1] / 1 > rows[0][1] / 5
+
+
 def test_exactly_three_gram_explodes_per_action(spark):
     # the lazy minimum: raw corpus exploded twice (model histogram +
     # per-doc scoring), target once. The model's totals must come from
