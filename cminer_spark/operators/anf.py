@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cminer_spark.plans.checkpoint import EphemeralStateStore
+from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = [
     "neighborhood_function_exact",
@@ -167,28 +168,36 @@ def anf_sketch(
         if n_vertices == 0:
             return spark.createDataFrame(out, "h int, n_pairs_est double")
         prev = float(n_vertices)
-        for h in range(1, max_h + 1):
-            # shuffle_hash: the state side is a parquet scan with
-            # unknown stats — Catalyst would otherwise pick a
-            # sort-merge join and re-sort the adjacency every hop
-            msgs = sym.join(
-                state.withColumnRenamed("v_id", "u").hint("shuffle_hash"),
-                "u",
-            ).select(F.col("v").alias("v_id"), *cols)
-            combined = (
-                state.unionByName(msgs)
-                .groupBy("v_id")
-                .agg(*[F.bit_or(c).alias(c) for c in cols])
-            )
-            obs = Observation(f"anf_{h}")
-            state = store.save(
-                combined.observe(obs, F.sum(_est_expr(k)).alias("s")), h
-            )
-            total = float(obs.get["s"] or 0.0)
-            out.append((h, total - n_vertices))
-            if total <= prev * (1.0 + rel_tol):
-                break
-            prev = total
+        n_sym = sym.count()
+        # Loop-scoped config (plans/loopconf.py): shuffle partitions
+        # sized to the message volume (|sym| wide sketch rows — k
+        # packed longs each, so ~4x fewer rows per partition than the
+        # narrow-row default), AQE off — one scheduler job per hop.
+        with superstep_conf(spark, n_sym, rows_per_partition=64_000):
+            for h in range(1, max_h + 1):
+                # shuffle_hash: the state side is a parquet scan with
+                # unknown stats — Catalyst would otherwise pick a
+                # sort-merge join and re-sort the adjacency every hop
+                msgs = sym.join(
+                    state.withColumnRenamed("v_id", "u").hint(
+                        "shuffle_hash"
+                    ),
+                    "u",
+                ).select(F.col("v").alias("v_id"), *cols)
+                combined = (
+                    state.unionByName(msgs)
+                    .groupBy("v_id")
+                    .agg(*[F.bit_or(c).alias(c) for c in cols])
+                )
+                obs = Observation(f"anf_{h}")
+                state = store.save(
+                    combined.observe(obs, F.sum(_est_expr(k)).alias("s")), h
+                )
+                total = float(obs.get["s"] or 0.0)
+                out.append((h, total - n_vertices))
+                if total <= prev * (1.0 + rel_tol):
+                    break
+                prev = total
         return spark.createDataFrame(out, "h int, n_pairs_est double")
     finally:
         store.close()

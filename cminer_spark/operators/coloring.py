@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 
 from cminer_spark.operators.graph import _und_sym
 from cminer_spark.plans.checkpoint import truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = ["greedy_coloring", "ColoringInfo"]
 
@@ -128,76 +129,80 @@ def greedy_coloring(
         )
     )
     st = truncate_lineage(st)
+    n_sym = sym.count()
 
-    for rnd in range(1, max_rounds + 1):
-        # one pass: adjacency x full state (neighbor side) x uncolored
-        # frontier (vertex side), then a single combinable aggregate
-        # yields both the winner test input (min uncolored-neighbor
-        # priority) and the used-color set of colored neighbors.
-        nbr_st = st.select(
-            F.col("v_id").alias("nbr"),
-            F.col("pri").alias("np"),
-            F.col("color").alias("nc"),
-        )
-        unc_v = st.where(F.col("color") == UNCOLORED).select(
-            F.col("v_id").alias("v")
-        )
-        g = (
-            sym.join(nbr_st.hint("shuffle_hash"), "nbr")
-            .join(unc_v.hint("shuffle_hash"), "v")
-            .groupBy(F.col("v").alias("v_id"))
-            .agg(
-                F.min(
-                    F.when(F.col("nc") == UNCOLORED, F.col("np"))
-                ).alias("mp"),
-                F.collect_set(
-                    F.when(F.col("nc") != UNCOLORED, F.col("nc"))
-                ).alias("used"),
+    # Loop-scoped config (plans/loopconf.py): shuffle partitions sized
+    # to the symmetric adjacency, AQE off — one scheduler job per round.
+    with superstep_conf(edges.sparkSession, n_sym):
+        for rnd in range(1, max_rounds + 1):
+            # one pass: adjacency x full state (neighbor side) x uncolored
+            # frontier (vertex side), then a single combinable aggregate
+            # yields both the winner test input (min uncolored-neighbor
+            # priority) and the used-color set of colored neighbors.
+            nbr_st = st.select(
+                F.col("v_id").alias("nbr"),
+                F.col("pri").alias("np"),
+                F.col("color").alias("nc"),
             )
-        )
-        is_winner = (F.col("color") == UNCOLORED) & (
-            F.col("mp").isNull() | (F.col("pri") < F.col("mp"))
-        )
-        new_st = st.join(g.hint("shuffle_hash"), "v_id", "left").select(
-            "v_id",
-            F.when(
-                is_winner,
-                F.array_min(
-                    F.array_except(
-                        F.sequence(
-                            F.lit(0).cast("long"),
-                            F.lit(rnd - 1).cast("long"),
-                        ),
-                        F.coalesce(
-                            F.col("used"), F.array().cast("array<long>")
-                        ),
-                    )
-                ),
+            unc_v = st.where(F.col("color") == UNCOLORED).select(
+                F.col("v_id").alias("v")
             )
-            .otherwise(F.col("color"))
-            .alias("color"),
-            "pri",
-        )
+            g = (
+                sym.join(nbr_st.hint("shuffle_hash"), "nbr")
+                .join(unc_v.hint("shuffle_hash"), "v")
+                .groupBy(F.col("v").alias("v_id"))
+                .agg(
+                    F.min(
+                        F.when(F.col("nc") == UNCOLORED, F.col("np"))
+                    ).alias("mp"),
+                    F.collect_set(
+                        F.when(F.col("nc") != UNCOLORED, F.col("nc"))
+                    ).alias("used"),
+                )
+            )
+            is_winner = (F.col("color") == UNCOLORED) & (
+                F.col("mp").isNull() | (F.col("pri") < F.col("mp"))
+            )
+            new_st = st.join(g.hint("shuffle_hash"), "v_id", "left").select(
+                "v_id",
+                F.when(
+                    is_winner,
+                    F.array_min(
+                        F.array_except(
+                            F.sequence(
+                                F.lit(0).cast("long"),
+                                F.lit(rnd - 1).cast("long"),
+                            ),
+                            F.coalesce(
+                                F.col("used"), F.array().cast("array<long>")
+                            ),
+                        )
+                    ),
+                )
+                .otherwise(F.col("color"))
+                .alias("color"),
+                "pri",
+            )
 
-        obs = None
-        to_save = new_st
-        if stop_when_done:
-            from pyspark.sql import Observation
+            obs = None
+            to_save = new_st
+            if stop_when_done:
+                from pyspark.sql import Observation
 
-            obs = Observation(f"color_unc_{rnd}")
-            to_save = new_st.observe(
-                obs,
-                F.sum(
-                    (F.col("color") == UNCOLORED).cast("long")
-                ).alias("unc"),
-            )
-        st = truncate_lineage(to_save)
-        uncolored = int(obs.get["unc"] or 0) if obs is not None else -1
-        info.rounds = rnd
-        info.uncolored.append(uncolored)
-        if uncolored == 0:
-            info.converged = True
-            break
+                obs = Observation(f"color_unc_{rnd}")
+                to_save = new_st.observe(
+                    obs,
+                    F.sum(
+                        (F.col("color") == UNCOLORED).cast("long")
+                    ).alias("unc"),
+                )
+            st = truncate_lineage(to_save)
+            uncolored = int(obs.get["unc"] or 0) if obs is not None else -1
+            info.rounds = rnd
+            info.uncolored.append(uncolored)
+            if uncolored == 0:
+                info.converged = True
+                break
 
     sym.unpersist()
     return st.select("v_id", "color"), info

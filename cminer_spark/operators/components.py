@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cminer_spark.plans.checkpoint import SuperstepCheckpoint, truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 
 @dataclass
@@ -111,48 +112,60 @@ def connected_components(
 
     from pyspark.sql import Observation
 
-    for rnd in range(start_round + 1, max_rounds + 1):
-        e2 = _small_star(_large_star(e))
-        # The convergence fingerprint rides the state materialization
-        # via df.observe() — one job per round, not two.
-        obs = Observation(f"cc_fp_{rnd}")
-        e2 = e2.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        )
-        e2 = (
-            checkpoint.save(rnd, e2, {"round": rnd})
-            if checkpoint is not None
-            else truncate_lineage(e2)
-        )
-        got = obs.get
-        fp = (int(got["n"]), int(got["h"] or 0))
-        e = e2
-        info.rounds = rnd
-        if fp == prev_fp:
-            info.converged = True
-            break
-        prev_fp = fp
+    # Loop-scoped config (plans/loopconf.py): shuffle partitions sized
+    # to the (shrinking) star state, AQE off — each round's star
+    # contraction is ONE scheduler job instead of ~9 query-stage jobs.
+    with superstep_conf(spark, prev_fp[0]):
+        for rnd in range(start_round + 1, max_rounds + 1):
+            e2 = _small_star(_large_star(e))
+            # The convergence fingerprint rides the state
+            # materialization via df.observe() — one job per round.
+            obs = Observation(f"cc_fp_{rnd}")
+            e2 = e2.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            )
+            e2 = (
+                checkpoint.save(rnd, e2, {"round": rnd})
+                if checkpoint is not None
+                else truncate_lineage(e2)
+            )
+            got = obs.get
+            fp = (int(got["n"]), int(got["h"] or 0))
+            e = e2
+            info.rounds = rnd
+            if fp == prev_fp:
+                info.converged = True
+                break
+            prev_fp = fp
 
-    # Converged state is a set of stars (child → root=min). Components:
-    # every child maps to its root, roots map to themselves, isolated
-    # vertices map to themselves.
-    labels = e.select(F.col("u").alias("v_id"), F.col("v").alias("component")).union(
-        e.select(F.col("v").alias("v_id"), F.col("v").alias("component"))
-    )
-    labels = labels.groupBy("v_id").agg(F.min("component").alias("component"))
+        # Converged state is a set of stars (child → root=min).
+        # Components: every child maps to its root, roots map to
+        # themselves, isolated vertices map to themselves.
+        labels = e.select(
+            F.col("u").alias("v_id"), F.col("v").alias("component")
+        ).union(
+            e.select(F.col("v").alias("v_id"), F.col("v").alias("component"))
+        )
+        labels = labels.groupBy("v_id").agg(
+            F.min("component").alias("component")
+        )
 
-    all_v = edges.select(F.col("src").alias("v_id")).union(
-        edges.select(F.col("dst").alias("v_id"))
-    )
-    if vertices is not None:
-        all_v = all_v.union(vertices.select("v_id"))
-    all_v = all_v.distinct()
-    labels = all_v.join(labels, "v_id", "left").select(
-        "v_id", F.coalesce("component", "v_id").alias("component")
-    )
-    info.n_components = labels.select("component").distinct().count()
+        all_v = edges.select(F.col("src").alias("v_id")).union(
+            edges.select(F.col("dst").alias("v_id"))
+        )
+        if vertices is not None:
+            all_v = all_v.union(vertices.select("v_id"))
+        all_v = all_v.distinct()
+        labels = all_v.join(labels, "v_id", "left").select(
+            "v_id", F.coalesce("component", "v_id").alias("component")
+        )
+        # materialize once: the n_components probe and every caller
+        # action (bench .count(), downstream joins) reuse the
+        # checkpointed rows instead of re-running the label chain
+        labels = truncate_lineage(labels)
+        info.n_components = labels.select("component").distinct().count()
     return labels, info
 
 
@@ -228,6 +241,10 @@ def incremental_components(
         l_.select("v_id"), "v_id", "left_anti"
     ).select("v_id", "component")
     labels = old_final.unionByName(new_final)
+    # materialize once (same rationale as connected_components): the
+    # n_components probe and the caller's actions reuse the
+    # checkpointed rows instead of re-running the compose joins
+    labels = truncate_lineage(labels)
     info.n_components = labels.select("component").distinct().count()
     return labels, info
 
@@ -264,45 +281,49 @@ def hashmin_components(
         all_v = all_v.union(vertices.select("v_id"))
     labels = all_v.distinct().select("v_id", F.col("v_id").alias("component"))
     sym = sym.persist()
-    for _ in range(rounds):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("v_id").alias("u"), "component").hint(
-                    "shuffle_hash"
-                ),
-                "u",
+    n_sym = sym.count()
+    with superstep_conf(edges.sparkSession, n_sym):
+        for _ in range(rounds):
+            nbr_min = (
+                sym.join(
+                    labels.select(F.col("v_id").alias("u"), "component").hint(
+                        "shuffle_hash"
+                    ),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("v_id"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .groupBy(F.col("v").alias("v_id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        labels = truncate_lineage(
-            labels.join(nbr_min.hint("shuffle_hash"), "v_id", "left").select(
-                "v_id",
-                F.least(
-                    "component", F.coalesce("nbr_min", "component")
-                ).alias("component"),
+            labels = truncate_lineage(
+                labels.join(
+                    nbr_min.hint("shuffle_hash"), "v_id", "left"
+                ).select(
+                    "v_id",
+                    F.least(
+                        "component", F.coalesce("nbr_min", "component")
+                    ).alias("component"),
+                )
             )
-        )
-    if verify_converged:
-        probe = (
-            sym.join(
-                labels.select(F.col("v_id").alias("u"), "component").hint(
-                    "shuffle_hash"
-                ),
-                "u",
+        if verify_converged:
+            probe = (
+                sym.join(
+                    labels.select(F.col("v_id").alias("u"), "component").hint(
+                        "shuffle_hash"
+                    ),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("v_id"))
+                .agg(F.min("component").alias("nbr_min"))
+                .join(labels, "v_id")
+                .where(F.col("nbr_min") < F.col("component"))
             )
-            .groupBy(F.col("v").alias("v_id"))
-            .agg(F.min("component").alias("nbr_min"))
-            .join(labels, "v_id")
-            .where(F.col("nbr_min") < F.col("component"))
-        )
-        n_changed = probe.count()
-        if n_changed:
-            sym.unpersist()
-            raise ValueError(
-                f"hashmin_components: {n_changed} labels still changing "
-                f"after {rounds} rounds — graph diameter exceeds the "
-                "fixed round count; raise `rounds`"
-            )
+            n_changed = probe.count()
+            if n_changed:
+                sym.unpersist()
+                raise ValueError(
+                    f"hashmin_components: {n_changed} labels still changing "
+                    f"after {rounds} rounds — graph diameter exceeds the "
+                    "fixed round count; raise `rounds`"
+                )
     sym.unpersist()
     return labels

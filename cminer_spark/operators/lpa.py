@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cminer_spark.plans.checkpoint import SuperstepCheckpoint, truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 
 def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
@@ -109,40 +110,44 @@ def label_propagation(
             start_round, labels, _ = resume
             info.resumed_from = start_round
     labels = truncate_lineage(labels)
+    n_sym = sym.count()
 
-    for rnd in range(start_round + 1, max_rounds + 1):
-        new_labels = _lpa_round(sym, labels)
+    # Loop-scoped config (plans/loopconf.py): shuffle partitions sized
+    # to the symmetric adjacency, AQE off — one scheduler job per round.
+    with superstep_conf(edges.sparkSession, n_sym):
+        for rnd in range(start_round + 1, max_rounds + 1):
+            new_labels = _lpa_round(sym, labels)
 
-        # The changed-count rides the state materialization via
-        # df.observe() — stop_when_stable costs zero extra jobs per
-        # round (the old-vs-new join is the one already producing
-        # new_labels; label_prev is consumed by the observation and
-        # never persisted).
-        obs = None
-        to_save = new_labels.select("v_id", "label")
-        if stop_when_stable:
-            from pyspark.sql import Observation
+            # The changed-count rides the state materialization via
+            # df.observe() — stop_when_stable costs zero extra jobs per
+            # round (the old-vs-new join is the one already producing
+            # new_labels; label_prev is consumed by the observation and
+            # never persisted).
+            obs = None
+            to_save = new_labels.select("v_id", "label")
+            if stop_when_stable:
+                from pyspark.sql import Observation
 
-            obs = Observation(f"lpa_chg_{rnd}")
-            to_save = new_labels.observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("label_prev")).cast("long")
-                ).alias("chg"),
-            ).select("v_id", "label")
+                obs = Observation(f"lpa_chg_{rnd}")
+                to_save = new_labels.observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("label_prev")).cast("long")
+                    ).alias("chg"),
+                ).select("v_id", "label")
 
-        labels = (
-            checkpoint.save(rnd, to_save, {"round": rnd})
-            if checkpoint is not None
-            else truncate_lineage(to_save)
-        )
-        changed = int(obs.get["chg"] or 0) if obs is not None else -1
-        if checkpoint is not None:
-            checkpoint.update_metrics(rnd, {"changed": changed})
-        info.rounds = rnd
-        if changed == 0:
-            info.converged = True
-            break
+            labels = (
+                checkpoint.save(rnd, to_save, {"round": rnd})
+                if checkpoint is not None
+                else truncate_lineage(to_save)
+            )
+            changed = int(obs.get["chg"] or 0) if obs is not None else -1
+            if checkpoint is not None:
+                checkpoint.update_metrics(rnd, {"changed": changed})
+            info.rounds = rnd
+            if changed == 0:
+                info.converged = True
+                break
 
     sym.unpersist()
     all_v.unpersist()

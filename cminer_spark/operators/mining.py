@@ -250,6 +250,28 @@ def mine_frequent_patterns(
         F.coalesce(F.col("key"), F.lit(0)).alias("key"),
         "type",
     ).persist()
+    n_edge_rows = e.count()
+
+    # Level-synchronous mining is a superstep loop over a fixed-shape
+    # union+aggregate plan: run it under the loop config
+    # (plans/loopconf.py) — shuffle partitions derived from the DB
+    # edge count, AQE off — so a level is one scheduler job and the
+    # (#branches × partitions)-task union wave shrinks with the DB.
+    from cminer_spark.plans.loopconf import superstep_conf
+
+    with superstep_conf(vertices.sparkSession, n_edge_rows):
+        return _mine_frequent_run(
+            vertices, edges, v, e, n_graphs, min_support, max_edges,
+            min_nodes, max_nodes, graph_col, start_patterns,
+            with_graph_counts, keep_embeddings, on_pattern,
+        )
+
+
+def _mine_frequent_run(
+    vertices, edges, v, e, n_graphs, min_support, max_edges,
+    min_nodes, max_nodes, graph_col, start_patterns,
+    with_graph_counts, keep_embeddings, on_pattern,
+):
 
     results: list[MinedPattern] = []
     seen_codes: set[str] = set()

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from cminer_spark.operators.graph import _und_sym
 from cminer_spark.plans.checkpoint import SuperstepCheckpoint, truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = ["maximal_independent_set", "MISInfo"]
 
@@ -111,80 +112,84 @@ def maximal_independent_set(
             start_round, st, _ = resume
             info.resumed_from = start_round
     st = truncate_lineage(st)
+    n_sym = sym.count()
 
-    for rnd in range(start_round + 1, max_rounds + 1):
-        und = st.where(F.col("status") == UNDECIDED)
-        act = sym.join(
-            und.select(
-                F.col("v_id").alias("nbr"), _pri("v_id").alias("pu")
-            ).hint("shuffle_hash"),
-            "nbr",
-        ).join(
-            und.select(F.col("v_id").alias("v")).hint("shuffle_hash"), "v"
-        )
-        mn = act.groupBy(F.col("v").alias("v_id")).agg(F.min("pu").alias("mp"))
-        scored = st.join(mn.hint("shuffle_hash"), "v_id", "left")
-        is_winner = (F.col("status") == UNDECIDED) & (
-            F.col("mp").isNull() | (_pri("v_id") < F.col("mp"))
-        )
-        winners = scored.where(is_winner).select("v_id")
-        outs = (
-            sym.join(
-                winners.select(F.col("v_id").alias("nbr")).hint(
-                    "shuffle_hash"
-                ),
+    # Loop-scoped config (plans/loopconf.py): shuffle partitions sized
+    # to the symmetric adjacency, AQE off — one scheduler job per round.
+    with superstep_conf(edges.sparkSession, n_sym):
+        for rnd in range(start_round + 1, max_rounds + 1):
+            und = st.where(F.col("status") == UNDECIDED)
+            act = sym.join(
+                und.select(
+                    F.col("v_id").alias("nbr"), _pri("v_id").alias("pu")
+                ).hint("shuffle_hash"),
                 "nbr",
+            ).join(
+                und.select(F.col("v_id").alias("v")).hint("shuffle_hash"), "v"
             )
-            .select(F.col("v").alias("v_id"))
-            .distinct()
-        )
-        new_st = (
-            scored.join(
-                outs.select("v_id", F.lit(1).alias("is_out")).hint(
-                    "shuffle_hash"
-                ),
-                "v_id",
-                "left",
+            mn = act.groupBy(F.col("v").alias("v_id")).agg(F.min("pu").alias("mp"))
+            scored = st.join(mn.hint("shuffle_hash"), "v_id", "left")
+            is_winner = (F.col("status") == UNDECIDED) & (
+                F.col("mp").isNull() | (_pri("v_id") < F.col("mp"))
             )
-            .select(
-                "v_id",
-                F.when(is_winner, F.lit(IN_SET))
-                .when(
-                    (F.col("status") == UNDECIDED)
-                    & F.col("is_out").isNotNull(),
-                    F.lit(OUT),
+            winners = scored.where(is_winner).select("v_id")
+            outs = (
+                sym.join(
+                    winners.select(F.col("v_id").alias("nbr")).hint(
+                        "shuffle_hash"
+                    ),
+                    "nbr",
                 )
-                .otherwise(F.col("status"))
-                .alias("status"),
+                .select(F.col("v").alias("v_id"))
+                .distinct()
             )
-        )
-
-        obs = None
-        to_save = new_st
-        if stop_when_done:
-            from pyspark.sql import Observation
-
-            obs = Observation(f"mis_und_{rnd}")
-            to_save = new_st.observe(
-                obs,
-                F.sum(
-                    (F.col("status") == UNDECIDED).cast("long")
-                ).alias("und"),
+            new_st = (
+                scored.join(
+                    outs.select("v_id", F.lit(1).alias("is_out")).hint(
+                        "shuffle_hash"
+                    ),
+                    "v_id",
+                    "left",
+                )
+                .select(
+                    "v_id",
+                    F.when(is_winner, F.lit(IN_SET))
+                    .when(
+                        (F.col("status") == UNDECIDED)
+                        & F.col("is_out").isNotNull(),
+                        F.lit(OUT),
+                    )
+                    .otherwise(F.col("status"))
+                    .alias("status"),
+                )
             )
 
-        st = (
-            checkpoint.save(rnd, to_save, {"round": rnd})
-            if checkpoint is not None
-            else truncate_lineage(to_save)
-        )
-        undecided = int(obs.get["und"] or 0) if obs is not None else -1
-        if checkpoint is not None:
-            checkpoint.update_metrics(rnd, {"undecided": undecided})
-        info.rounds = rnd
-        info.undecided.append(undecided)
-        if undecided == 0:
-            info.converged = True
-            break
+            obs = None
+            to_save = new_st
+            if stop_when_done:
+                from pyspark.sql import Observation
+
+                obs = Observation(f"mis_und_{rnd}")
+                to_save = new_st.observe(
+                    obs,
+                    F.sum(
+                        (F.col("status") == UNDECIDED).cast("long")
+                    ).alias("und"),
+                )
+
+            st = (
+                checkpoint.save(rnd, to_save, {"round": rnd})
+                if checkpoint is not None
+                else truncate_lineage(to_save)
+            )
+            undecided = int(obs.get["und"] or 0) if obs is not None else -1
+            if checkpoint is not None:
+                checkpoint.update_metrics(rnd, {"undecided": undecided})
+            info.rounds = rnd
+            info.undecided.append(undecided)
+            if undecided == 0:
+                info.converged = True
+                break
 
     sym.unpersist()
     return st, info

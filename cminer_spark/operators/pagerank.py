@@ -43,6 +43,7 @@ from cminer_spark.plans.checkpoint import (
     SuperstepCheckpoint,
     truncate_lineage,
 )
+from cminer_spark.plans.loopconf import superstep_conf
 
 
 @dataclass
@@ -118,6 +119,10 @@ def pagerank(
     # keeps tasks meaningful; the cap at spark.sql.shuffle.partitions
     # preserves the large-graph plan (66M edges still gets the full
     # 2×cores spread — the scaling campaign is unaffected).
+    # superstep_conf additionally turns AQE off and sizes
+    # spark.sql.shuffle.partitions to the same graph-derived count for
+    # the loop's duration (plans/loopconf.py): every superstep is then
+    # ONE scheduler job instead of ~10 AQE query-stage jobs.
     #
     # This is the ONE setup scan of the input; its count is also
     # reported as ``info.n_edges``. Semantics: multigraph edge ROWS —
@@ -128,7 +133,44 @@ def pagerank(
     # probe (or the first superstep).
     n_raw = pairs.count()
     info.n_edges = n_raw
-    iter_parts = min(shuffle_parts, max(1, -(-n_raw // 250_000)))
+    with superstep_conf(spark, n_raw) as iter_parts:
+        return _pagerank_run(
+            spark,
+            info,
+            pairs,
+            iter_parts,
+            shuffle_parts,
+            damping,
+            tol,
+            max_iter,
+            vertices,
+            checkpoint,
+            salt_partitions,
+            use_csr,
+            seeds,
+            init_ranks,
+            t_setup,
+        )
+
+
+def _pagerank_run(
+    spark,
+    info: PageRankInfo,
+    pairs: DataFrame,
+    iter_parts: int,
+    shuffle_parts: int,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    vertices: DataFrame | None,
+    checkpoint: SuperstepCheckpoint | None,
+    salt_partitions: int | None,
+    use_csr: bool,
+    seeds: list | None,
+    init_ranks: DataFrame | None,
+    t_setup: float,
+) -> tuple[DataFrame, PageRankInfo]:
+    import time
 
     # Normalized adjacency, built once, in ONE shuffle: hash-partition
     # on src, then a whole-partition window total per src divides each
@@ -283,6 +325,91 @@ def pagerank(
     state = truncate_lineage(state)
     info.setup_sec = round(time.time() - t_setup, 3)
     store = EphemeralStateStore(spark, "pagerank") if checkpoint is None else None
+
+    if not check_convergence and checkpoint is None:
+        # ---- fixed-k ephemeral fast path: ONE job per superstep ----
+        # State stores the raw in-mass ``im``; the rank is materialized
+        # lazily as ``teleport + d·(im + dmass·reset)`` with ``dmass``
+        # a driver-side literal taken from an Observation riding the
+        # state write. Per-row arithmetic is unchanged (a literal and a
+        # broadcast column hold the same double), so ranks are
+        # bit-identical to the broadcast formulation — but the dangling
+        # broadcast job and the sums persist/unpersist are gone: the
+        # whole superstep is the state-write job.
+        from pyspark.sql import Observation
+
+        if reset is not None:
+            teleport_c = F.lit(1.0 - damping) * reset
+
+            def rank_of(dm):
+                return teleport_c + F.lit(damping) * (
+                    F.col("im") + F.lit(dm) * reset
+                )
+
+        else:
+            teleport_c = F.lit((1.0 - damping) / n)
+
+            def rank_of(dm):
+                return teleport_c + F.lit(damping) * (
+                    F.col("im") + F.lit(dm) / n
+                )
+
+        state_rank = F.col("rank")
+        for it in range(1, max_iter + 1):
+            t_step = time.time()
+            joined = adj.join(
+                state.select(
+                    F.col("v_id").alias("src"), state_rank.alias("rank")
+                ).hint("shuffle_hash"),
+                "src",
+            )
+            salt_cols = ["salt"] if info.salted else []
+            if use_csr:
+                contribs = joined.select(
+                    *salt_cols, F.col("rank"), F.explode("adj").alias("a")
+                ).select(
+                    *salt_cols,
+                    F.col("a.dst").alias("dst"),
+                    (F.col("a.p") * F.col("rank")).alias("m"),
+                )
+            else:
+                contribs = joined.select(
+                    *salt_cols, "dst", (F.col("p") * F.col("rank")).alias("m")
+                )
+            if info.salted:
+                sums = (
+                    contribs.groupBy("dst", "salt")
+                    .agg(F.sum("m").alias("c"))
+                    .groupBy("dst")
+                    .agg(F.sum("c").alias("in_mass"))
+                )
+            else:
+                sums = contribs.groupBy("dst").agg(F.sum("m").alias("in_mass"))
+            new_state = verts.join(
+                sums.withColumnRenamed("dst", "v_id").hint("shuffle_hash"),
+                "v_id",
+                "left",
+            ).select(
+                "v_id", F.coalesce("in_mass", F.lit(0.0)).alias("im")
+            )
+            obs = Observation(f"pr_dm_{it}_{id(store)}")
+            saved = store.save(
+                new_state.observe(obs, F.sum("im").alias("s")), it
+            )
+            dmass = 1.0 - float(obs.get["s"] or 0.0)
+            state = saved
+            state_rank = rank_of(dmass)
+            info.iterations = it
+            info.superstep_secs.append(round(time.time() - t_step, 3))
+
+        result = state.select("v_id", state_rank.alias("rank"))
+        if info.iterations > 0:
+            result = truncate_lineage(result)
+        adj.unpersist()
+        verts.unpersist()
+        store.close()
+        return result, info
+
     for it in range(start_iter + 1, max_iter + 1):
         t_step = time.time()
         # shuffle_hash hint: the state side comes from a checkpoint

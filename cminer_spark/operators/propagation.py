@@ -41,8 +41,35 @@ from pyspark.sql import functions as F
 
 from cminer_spark.operators.graph import _und_sym
 from cminer_spark.plans.checkpoint import truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = ["propagate_features"]
+
+
+def _prop_round(sym: DataFrame, st: DataFrame, alpha: float) -> DataFrame:
+    """One damped-averaging round over the exploded state — the raw
+    round plan (shuffle-hash join + combinable avg), exposed for the
+    plan-shape test the same way ``lpa._lpa_round`` is."""
+    nbr_mean = (
+        sym.join(
+            st.select(
+                F.col("v_id").alias("nbr"), "pos", "val"
+            ).hint("shuffle_hash"),
+            "nbr",
+        )
+        .groupBy(F.col("v").alias("v_id"), "pos")
+        .agg(F.avg("val").alias("nm"))
+    )
+    return st.join(
+        nbr_mean.hint("shuffle_hash"), ["v_id", "pos"], "left"
+    ).select(
+        "v_id",
+        "pos",
+        (
+            F.lit(alpha) * F.col("val")
+            + F.lit(1.0 - alpha) * F.coalesce(F.col("nm"), F.col("val"))
+        ).alias("val"),
+    )
 
 
 def propagate_features(
@@ -75,47 +102,37 @@ def propagate_features(
     # does, so an unpersist-on-exit would drop the cache before first
     # use and every round would recompute the distinct shuffle.
     sym = truncate_lineage(_und_sym(edges))
+    n_sym = sym.count()
+    # feature dimension (for sizing the exploded shuffle): one
+    # limit-1 probe, the only setup action besides the sym count
+    dim_row = features.select(F.size(feature_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] else 1
 
     st = features.select(
         "v_id", F.posexplode(feature_col).alias("pos", "val")
     ).select("v_id", "pos", F.col("val").cast("double").alias("val"))
     st = truncate_lineage(st)
 
-    for rnd in range(1, rounds + 1):
-        nbr_mean = (
-            sym.join(
-                st.select(
-                    F.col("v_id").alias("nbr"), "pos", "val"
-                ).hint("shuffle_hash"),
-                "nbr",
-            )
-            .groupBy(F.col("v").alias("v_id"), "pos")
-            .agg(F.avg("val").alias("nm"))
-        )
-        st = (
-            st.join(nbr_mean.hint("shuffle_hash"), ["v_id", "pos"], "left")
-            .select(
-                "v_id",
-                "pos",
-                (
-                    F.lit(alpha) * F.col("val")
-                    + F.lit(1.0 - alpha)
-                    * F.coalesce(F.col("nm"), F.col("val"))
-                ).alias("val"),
-            )
-        )
-        # the per-round plan is two joins deep; only cut lineage at the
-        # checkpoint cadence (each cut materializes the state). The
-        # final round stays declarative so callers compose/inspect the
-        # plan and Catalyst can push projections into it.
-        if rnd % checkpoint_every == 0 and rnd != rounds:
-            st = truncate_lineage(st)
+    # Loop-scoped config (plans/loopconf.py): the per-round message
+    # volume is |sym|·dim exploded rows; shuffle partitions derive
+    # from that, AQE off. The final state is materialized inside the
+    # loop config so the caller's first action replays a checkpoint
+    # scan instead of the whole round chain under session config.
+    with superstep_conf(edges.sparkSession, n_sym * max(dim, 1)):
+        for rnd in range(1, rounds + 1):
+            st = _prop_round(sym, st, alpha)
+            # cut lineage at the checkpoint cadence and after the
+            # final round (each cut materializes the state)
+            if rnd % checkpoint_every == 0 or rnd == rounds:
+                st = truncate_lineage(st)
 
-    if not as_array:
-        return st
-    return st.groupBy("v_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "val"))),
-            lambda s: s["val"],
-        ).alias("emb")
-    )
+        if not as_array:
+            return st
+        return truncate_lineage(
+            st.groupBy("v_id").agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("emb")
+            )
+        )

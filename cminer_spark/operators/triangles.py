@@ -39,9 +39,23 @@ def triangle_stats(
     adjacency/orientation frames are computed exactly once no matter
     how often the result is consumed."""
     from cminer_spark.plans.checkpoint import truncate_lineage
+    from cminer_spark.plans.loopconf import superstep_conf
 
     und = _undirected_simple(edges).persist()
+    n_und = und.count()
+    # Scale-adaptive execution config (plans/loopconf.py): the whole
+    # orientation + wedge + closing chain is one fixed-shape plan;
+    # shuffle partitions derive from the simple-edge count (wedge rows
+    # can exceed |E|, so size generously at 64k rows/partition) and
+    # AQE is off — the stats materialization is a single scheduler job
+    # instead of ~10 query-stage jobs.
+    with superstep_conf(
+        edges.sparkSession, n_und, rows_per_partition=64_000
+    ):
+        return _triangle_stats_run(edges, und, vertices, truncate_lineage)
 
+
+def _triangle_stats_run(edges, und, vertices, truncate_lineage):
     deg = (
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))

@@ -158,7 +158,9 @@ class SuperstepCheckpoint:
         (lineage-truncated) for the next superstep."""
         path = self._data_path(i)
         df.write.mode("overwrite").parquet(path)
-        back = self.spark.read.parquet(path)
+        # explicit schema: skips the footer-sampling schema-inference
+        # job the bare read would run per superstep
+        back = self.spark.read.schema(df.schema).parquet(path)
         lineage = [
             {"partition": r["p"], "rows": r["rows"], "content_hash": r["h"]}
             for r in (
@@ -229,7 +231,8 @@ class EphemeralStateStore:
     def save(self, df: DataFrame, it: int) -> DataFrame:
         path = os.path.join(self.dir, f"iter={it}")
         df.write.mode("overwrite").parquet(path)
-        back = self.spark.read.parquet(path)
+        # explicit schema: no per-superstep schema-inference job
+        back = self.spark.read.schema(df.schema).parquet(path)
         self._kept.append(path)
         while len(self._kept) > 2:
             shutil.rmtree(self._kept.pop(0), ignore_errors=True)

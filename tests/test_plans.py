@@ -155,14 +155,24 @@ def test_topk_cap_no_self_join(spark):
 
 def test_propagation_round_uses_shuffle_hash(spark):
     """The propagation round's adjacency-state join must stay
-    shuffle-hash (the same superstep contract as PageRank/CC)."""
-    from cminer_spark.operators import propagate_features
+    shuffle-hash (the same superstep contract as PageRank/CC).
+    propagate_features() returns a checkpointed plan since r6 (the
+    state is materialized inside the loop config), so assert on the
+    raw round plan via _prop_round — the same pattern as the LPA
+    plan test."""
+    from cminer_spark.operators.graph import _und_sym
+    from cminer_spark.operators.propagation import _prop_round
 
     e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     f0 = spark.createDataFrame(
         [(1, [1.0]), (2, [2.0]), (3, [3.0])], "v_id long, emb array<double>"
     )
-    plan = _plan(propagate_features(e, f0, rounds=1))
+    from pyspark.sql import functions as F
+
+    st = f0.select(
+        "v_id", F.posexplode("emb").alias("pos", "val")
+    ).select("v_id", "pos", F.col("val").cast("double").alias("val"))
+    plan = _plan(_prop_round(_und_sym(e), st, alpha=0.5))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
