@@ -15,6 +15,7 @@ from cminer_spark.pipeline.similarity import (
     brute_force_cosine_topk,
     cosine_near_duplicates,
     embedding_dedup_clusters,
+    embedding_overflow_buckets,
     ivf_topk,
     ivf_train_centroids,
     lsh_bucketed_topk,
@@ -89,6 +90,7 @@ __all__ = [
     "brute_force_cosine_topk",
     "cosine_near_duplicates",
     "embedding_dedup_clusters",
+    "embedding_overflow_buckets",
     "ivf_topk",
     "ivf_train_centroids",
     "lsh_bucketed_topk",

@@ -148,7 +148,7 @@ def train_bpe(
 
     words = word_counts(docs, text_col=text_col, lowercase=lowercase)
     segs = words.select(_char_seg(F.col("word")).alias("seg"), "n").persist()
-    segs.count()  # materialize the vocabulary reduction once
+    n_vocab = segs.count()  # materialize the vocabulary reduction once
 
     # keep the plan O(1) deep across 10k-merge runs: every few merges
     # the segmentation state round-trips through the parquet
@@ -156,6 +156,28 @@ def train_bpe(
     # on disk, superseded states deleted eagerly — see module
     # docstring for why localCheckpoint can't do this).
     store = EphemeralStateStore(spark, tag="bpe")
+    # Persist each merge's segmentation state so merge k's pair count
+    # computes ONE fold layer from the cached k-1 state instead of
+    # re-folding the whole merge chain from the vocabulary (the lazy
+    # chain made trainer cost quadratic in n_merges between
+    # checkpoints). Superseded caches are freed one iteration late —
+    # a parent must stay cached until its child materializes in the
+    # next rank's pair-count job.
+    to_free: list[DataFrame] = []
+    from cminer_spark.plans.loopconf import superstep_conf
+
+    # merge loop under the loop config (plans/loopconf.py): shuffle
+    # partitions sized to the vocabulary, AQE off — each merge is the
+    # pair-count job plus nothing
+    with superstep_conf(spark, n_vocab):
+        return _train_bpe_loop(
+            spark, info, segs, store, to_free, n_merges, checkpoint_every
+        )
+
+
+def _train_bpe_loop(
+    spark, info, segs, store, to_free, n_merges, checkpoint_every
+):
     try:
         prev = segs
         for rank in range(1, n_merges + 1):
@@ -165,6 +187,8 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
+            while to_free:
+                to_free.pop().unpersist()
             if not top:
                 info.stopped_early = True
                 break
@@ -175,8 +199,16 @@ def train_bpe(
             nxt = prev.select(_merge_fold(F.col("seg"), a, b).alias("seg"), "n")
             if rank % checkpoint_every == 0:
                 nxt = store.save(nxt, rank)
+            else:
+                nxt = nxt.persist()
+            if prev is not segs:
+                to_free.append(prev)
             prev = nxt
     finally:
+        while to_free:
+            to_free.pop().unpersist()
+        if prev is not segs:
+            prev.unpersist()
         segs.unpersist()
         store.close()  # segmentations are not returned
     out = spark.createDataFrame(
@@ -238,8 +270,9 @@ def bpe_token_counts(
     ``(token, n, token_rank)``, top ``top_k`` by (n desc, token asc).
 
     The corpus reduces to word counts first; segmentation and the
-    token explode run on the vocabulary only, so the final rank
-    window sees a vocabulary-bounded table (same safety argument as
+    token explode run on the vocabulary only, and the global top-k is
+    an ``orderBy().limit(k)`` (TakeOrdered) with the rank window over
+    the k-row result (same pattern as
     :func:`cminer_spark.pipeline.vocab.bpe_pair_counts`).
     """
     if top_k < 1:
@@ -253,8 +286,17 @@ def bpe_token_counts(
         .groupBy("token")
         .agg(F.sum("n").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    # global top-k via orderBy+limit (TakeOrdered: per-partition top-k
+    # + driver merge); the rank window runs over the k-row result only
+    # — no single-partition sort of the token table
     return (
-        toks.select("token", "n", F.row_number().over(w).alias("token_rank"))
-        .where(F.col("token_rank") <= top_k)
+        toks.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_k)
+        .select(
+            "token",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+            .alias("token_rank"),
+        )
     )

@@ -140,10 +140,23 @@ def score_naive_bayes(
             F.round(F.col("ll") + F.col("ln_prior"), 6).alias("score"),
         )
     )
-    # token-less documents: prior-only posterior
+    # token-less documents: prior-only posterior. Tokenlessness is a
+    # ROW-LOCAL property (no non-empty piece after the split), so a
+    # scan predicate replaces the previous explode + distinct +
+    # anti-join — one fewer full-corpus explode and shuffle, same set
+    # of documents by definition of _tokens.
+    has_tok = (
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " +"),
+                lambda x: x != "",
+            )
+        )
+        > 0
+    )
     no_tok = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(toks.select("doc_id").distinct(), "doc_id", "anti")
+        docs.where(~F.coalesce(has_tok, F.lit(False)))
+        .select(F.col(id_col).alias("doc_id"))
         .crossJoin(F.broadcast(labels.select("label", "ln_prior")))
         .select("doc_id", "label", F.round("ln_prior", 6).alias("score"))
     )

@@ -447,6 +447,30 @@ def ivf_topk(
     )
 
 
+def embedding_overflow_buckets(
+    embeddings: DataFrame,
+    max_bucket_size: int,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Audit report for :func:`cosine_near_duplicates`'s
+    ``max_bucket_size``: the LSH buckets it would DROP at that cap —
+    ``(bucket, n_vecs)``. Same bucketing parameters ⇒ exact accounting
+    of the recall-loss surface (the same seam
+    :func:`cminer_spark.pipeline.dedup.lsh_overflow_buckets` provides
+    for the MinHash path)."""
+    return (
+        embeddings.select(
+            lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > max_bucket_size)
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -454,17 +478,37 @@ def cosine_near_duplicates(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs ``(a, b, cosine)`` with cosine ≥
     threshold, candidate-limited to shared LSH buckets. The threshold
     test uses the cosine ROUNDED to 9 decimals so the pair set is
     stable across summation orders (engines / partitionings differ in
-    the last ulp — same rationale as :func:`lsh_bucket`'s sign test)."""
+    the last ulp — same rationale as :func:`lsh_bucket`'s sign test).
+
+    ``max_bucket_size`` (default on) is the mega-bucket guard: with
+    only ``2^n_planes`` buckets, the within-bucket self-join is
+    quadratic in bucket size, so one boilerplate-heavy bucket at
+    corpus scale degenerates to all-pairs/2^n_planes. Buckets holding
+    more than ``max_bucket_size`` vectors are dropped from the join
+    (bounding output at ``max_bucket_size²`` per bucket) — the same
+    cap-and-audit design as
+    :func:`cminer_spark.pipeline.dedup.minhash_lsh_candidates`; audit
+    the recall loss with :func:`embedding_overflow_buckets`, or raise
+    ``n_planes`` so buckets shrink ``2×`` per extra plane. ``None``
+    disables the cap."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        base = (
+            base.join(sizes, "bucket")
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
     b = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
     return (
@@ -490,22 +534,25 @@ def embedding_dedup_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cc_rounds: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Semantic (embedding-cosine) dedup clustering:
     ``(vec_id, cluster_id, is_canonical)`` for EVERY input vector.
 
-    The pair graph is :func:`cosine_near_duplicates` (LSH-bucketed,
-    never all-pairs — the 100 TB path), closed transitively by
-    fixed-round hash-min connected components; cluster id is the
-    component minimum, the canonical vector is the one equal to its
-    cluster id. Near-dup clusters are dense (diameter ≈ 2-3), so a
-    handful of rounds converges; the fixed round count keeps the
-    DuckDB gate oracle exactly unrollable.
+    The pair graph is :func:`cosine_near_duplicates` (LSH-bucketed
+    with the ``max_bucket_size`` mega-bucket cap, never all-pairs —
+    the 100 TB path), closed transitively by fixed-round hash-min
+    connected components; cluster id is the component minimum, the
+    canonical vector is the one equal to its cluster id. Near-dup
+    clusters are dense (diameter ≈ 2-3), so a handful of rounds
+    converges; the fixed round count keeps the DuckDB gate oracle
+    exactly unrollable.
     """
     from cminer_spark.operators.components import hashmin_components
 
     pairs = cosine_near_duplicates(
-        embeddings, threshold, dim, n_planes, id_col, vec_col
+        embeddings, threshold, dim, n_planes, id_col, vec_col,
+        max_bucket_size=max_bucket_size,
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comp = hashmin_components(
         pairs,

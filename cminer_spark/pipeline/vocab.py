@@ -58,9 +58,10 @@ def bpe_pair_counts(
 
     Scale shape: the corpus reduces to the word table first (combinable
     groupBy), pairs explode off DISTINCT words only — O(vocabulary ·
-    avg word length), independent of corpus row count — and the final
-    rank window runs over the pair table, which is bounded by
-    |alphabet|² rows, so the global window is safe by construction.
+    avg word length), independent of corpus row count — and the global
+    top-k is an ``orderBy().limit(k)`` (TakeOrdered) with the rank
+    window applied to the k-row result only, so no single-partition
+    sort ever sees the full pair table.
     """
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
@@ -79,8 +80,18 @@ def bpe_pair_counts(
         .groupBy("pair")
         .agg(F.sum("n").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    # global top-k via orderBy+limit (plans as TakeOrdered: per-
+    # partition top-k + driver merge, no single-partition sort of the
+    # pair table — ranking.bm25_topk pattern); the rank window then
+    # runs over the already-limited k rows only
     return (
-        pairs.select("pair", "n", F.row_number().over(w).alias("pair_rank"))
-        .where(F.col("pair_rank") <= top_k)
+        pairs.orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+        .select(
+            "pair",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("pair").asc()))
+            .alias("pair_rank"),
+        )
     )

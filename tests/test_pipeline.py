@@ -220,6 +220,45 @@ def test_cosine_near_duplicates_self_consistency(spark):
     assert (0, 10_000) in got
 
 
+def test_cosine_near_dup_mega_bucket_capped_and_reported(spark):
+    """A planted mega-bucket (thousands of identical vectors → one LSH
+    bucket) is DROPPED from the self-join at max_bucket_size and shows
+    up in the embedding_overflow_buckets audit — the dedup.py
+    _cap_buckets design ported to the embedding path (r5 verdict #2)."""
+    from cminer_spark.pipeline.similarity import embedding_overflow_buckets
+
+    n_mega = 500
+    mega = spark.range(n_mega).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0) for _ in range(4)]).alias("embedding"),
+    )
+    # two distinct near-identical honest vectors, far from the mega
+    # direction, that must still pair up
+    honest = spark.createDataFrame(
+        [
+            (100_000, [1.0, -1.0, 1.0, -1.0]),
+            (100_001, [1.0, -1.0, 1.0, -0.999]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    embs = mega.union(honest)
+    kw = dict(threshold=0.99, dim=4, n_planes=3)
+    capped = cosine_near_duplicates(embs, max_bucket_size=100, **kw)
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert (100_000, 100_001) in got  # honest pair survives the cap
+    assert not any(a < n_mega and b < n_mega for a, b in got), (
+        "mega-bucket pairs must be dropped at the cap"
+    )
+    # uncapped: the mega bucket would contribute O(n²) pairs
+    uncapped = cosine_near_duplicates(embs, max_bucket_size=None, **kw)
+    assert uncapped.count() >= n_mega * (n_mega - 1) // 2
+    # audit seam reports exactly the dropped bucket
+    report = embedding_overflow_buckets(
+        embs, max_bucket_size=100, dim=4, n_planes=3
+    ).collect()
+    assert len(report) == 1 and report[0].n_vecs >= n_mega
+
+
 def test_multimodal_feature_extraction(spark):
     media = synth_media(spark, n=60)
     feats = extract_features(media, fake=True)
