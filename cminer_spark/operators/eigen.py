@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cminer_spark.plans.checkpoint import EphemeralStateStore, truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = ["eigenvector_centrality", "EigenInfo"]
 
@@ -90,38 +91,42 @@ def eigenvector_centrality(
     x = verts.withColumn("x", F.lit(1.0))
     cur_norm = math.sqrt(float(info.n_vertices)) if info.n_vertices else 1.0
     prev_eig = None
-    for i in range(max_iter):
-        xh = x.select("v_id", (F.col("x") / F.lit(cur_norm)).alias("x"))
-        msgs = (
-            adj.join(xh.hint("shuffle_hash"), adj["src"] == xh["v_id"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
-        )
-        nxt = verts.join(
-            msgs.hint("shuffle_hash"), verts["v_id"] == msgs["dst"], "left"
-        ).select("v_id", F.coalesce("m", F.lit(0.0)).alias("x"))
-        obs = Observation(f"eigen_{i}")
-        to_save = nxt.observe(obs, F.sum(F.col("x") * F.col("x")).alias("ss"))
-        x = store.save(to_save, i)
-        cur_norm = math.sqrt(float(obs.get["ss"] or 0.0))
-        info.iterations = i + 1
-        if cur_norm <= 0.0:
-            adj.unpersist()
-            verts.unpersist()
-            store.close()
-            raise ValueError(
-                "power iteration collapsed to the zero vector "
-                f"(superstep {i}) — eigenvector centrality undefined "
-                "for this graph (e.g. a DAG whose walk mass dies out)"
+    n_adj = adj.count()
+    # loop-scoped config (plans/loopconf.py): graph-sized shuffle
+    # partitions, AQE off — one scheduler job per superstep
+    with superstep_conf(edges.sparkSession, n_adj):
+        for i in range(max_iter):
+            xh = x.select("v_id", (F.col("x") / F.lit(cur_norm)).alias("x"))
+            msgs = (
+                adj.join(xh.hint("shuffle_hash"), adj["src"] == xh["v_id"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
             )
-        # x̂_{i-1} was unit, so ‖Aᵀx̂‖₂ estimates λ_max
-        info.eigenvalue_estimates.append(cur_norm)
-        if tol > 0 and prev_eig is not None and abs(cur_norm - prev_eig) < tol:
-            info.converged = True
-            break
-        prev_eig = cur_norm
-    result = x.select("v_id", (F.col("x") / F.lit(cur_norm)).alias("score"))
-    result = truncate_lineage(result)
+            nxt = verts.join(
+                msgs.hint("shuffle_hash"), verts["v_id"] == msgs["dst"], "left"
+            ).select("v_id", F.coalesce("m", F.lit(0.0)).alias("x"))
+            obs = Observation(f"eigen_{i}")
+            to_save = nxt.observe(obs, F.sum(F.col("x") * F.col("x")).alias("ss"))
+            x = store.save(to_save, i)
+            cur_norm = math.sqrt(float(obs.get["ss"] or 0.0))
+            info.iterations = i + 1
+            if cur_norm <= 0.0:
+                adj.unpersist()
+                verts.unpersist()
+                store.close()
+                raise ValueError(
+                    "power iteration collapsed to the zero vector "
+                    f"(superstep {i}) — eigenvector centrality undefined "
+                    "for this graph (e.g. a DAG whose walk mass dies out)"
+                )
+            # x̂_{i-1} was unit, so ‖Aᵀx̂‖₂ estimates λ_max
+            info.eigenvalue_estimates.append(cur_norm)
+            if tol > 0 and prev_eig is not None and abs(cur_norm - prev_eig) < tol:
+                info.converged = True
+                break
+            prev_eig = cur_norm
+        result = x.select("v_id", (F.col("x") / F.lit(cur_norm)).alias("score"))
+        result = truncate_lineage(result)
     adj.unpersist()
     verts.unpersist()
     store.close()

@@ -265,7 +265,14 @@ def jaccard_similarity(
     neighborhoods use :func:`jaccard_similarity_minhash`, which is
     linear in |E| regardless of skew. Default ``None`` = exact.
     """
-    sym = _und_sym(edges)
+    from cminer_spark.plans.checkpoint import truncate_lineage
+
+    # materialize the symmetric-distinct projection once: it feeds the
+    # degree aggregate, the pivot filter AND both wedge sides, and the
+    # distinct's exchange is not dedupable across those differently-
+    # shaped branches — without the cut the plan re-runs the |E|-sized
+    # distinct shuffle per branch
+    sym = truncate_lineage(_und_sym(edges))
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     pivots = sym.select(F.col("nbr").alias("shared"), F.col("v"))
     if max_pivot_degree is not None:

@@ -42,6 +42,7 @@ from cminer_spark.plans.checkpoint import (
     SuperstepCheckpoint,
     truncate_lineage,
 )
+from cminer_spark.plans.loopconf import superstep_conf
 
 
 @dataclass
@@ -199,79 +200,82 @@ def hits(
     state = truncate_lineage(state)
     store = EphemeralStateStore(spark, "hits") if checkpoint is None else None
 
-    for it in range(start_iter + 1, max_iter + 1):
-        # auth half-step: gather hub mass along edges (group by dst)
-        araw = _half_step(
-            adj_src, state, "src", "dst", "hub", salt_partitions
-        ).persist()
-        asum = araw.agg(F.sum("x").alias("s"))
-        auth = (
-            verts.join(
-                araw.withColumnRenamed("dst", "v_id").hint("shuffle_hash"),
-                "v_id",
-                "left",
+    # loop-scoped config (plans/loopconf.py): graph-sized shuffle
+    # partitions, AQE off — fewer scheduler jobs per superstep
+    with superstep_conf(spark, n_raw):
+        for it in range(start_iter + 1, max_iter + 1):
+            # auth half-step: gather hub mass along edges (group by dst)
+            araw = _half_step(
+                adj_src, state, "src", "dst", "hub", salt_partitions
+            ).persist()
+            asum = araw.agg(F.sum("x").alias("s"))
+            auth = (
+                verts.join(
+                    araw.withColumnRenamed("dst", "v_id").hint("shuffle_hash"),
+                    "v_id",
+                    "left",
+                )
+                .crossJoin(F.broadcast(asum))
+                .select(
+                    "v_id",
+                    (F.coalesce("x", F.lit(0.0)) / F.col("s")).alias("auth"),
+                )
+            ).persist()
+            # hub half-step: scatter the NEW auth back along edges
+            hraw = _half_step(
+                adj_dst, auth, "dst", "src", "auth", salt_partitions
+            ).persist()
+            hsum = hraw.agg(F.sum("x").alias("s"))
+            new_state = (
+                state.select("v_id", F.col("hub").alias("hub_prev"), F.col("auth").alias("auth_prev"))
+                .join(
+                    hraw.withColumnRenamed("src", "v_id").hint("shuffle_hash"),
+                    "v_id",
+                    "left",
+                )
+                .join(auth.hint("shuffle_hash"), "v_id")
+                .crossJoin(F.broadcast(hsum))
+                .select(
+                    "v_id",
+                    (F.coalesce("x", F.lit(0.0)) / F.col("s")).alias("hub"),
+                    "auth",
+                    "hub_prev",
+                    "auth_prev",
+                )
             )
-            .crossJoin(F.broadcast(asum))
-            .select(
-                "v_id",
-                (F.coalesce("x", F.lit(0.0)) / F.col("s")).alias("auth"),
-            )
-        ).persist()
-        # hub half-step: scatter the NEW auth back along edges
-        hraw = _half_step(
-            adj_dst, auth, "dst", "src", "auth", salt_partitions
-        ).persist()
-        hsum = hraw.agg(F.sum("x").alias("s"))
-        new_state = (
-            state.select("v_id", F.col("hub").alias("hub_prev"), F.col("auth").alias("auth_prev"))
-            .join(
-                hraw.withColumnRenamed("src", "v_id").hint("shuffle_hash"),
-                "v_id",
-                "left",
-            )
-            .join(auth.hint("shuffle_hash"), "v_id")
-            .crossJoin(F.broadcast(hsum))
-            .select(
-                "v_id",
-                (F.coalesce("x", F.lit(0.0)) / F.col("s")).alias("hub"),
-                "auth",
-                "hub_prev",
-                "auth_prev",
-            )
-        )
 
-        obs = None
-        to_save = new_state.select("v_id", "hub", "auth")
-        if check_convergence:
-            from pyspark.sql import Observation
+            obs = None
+            to_save = new_state.select("v_id", "hub", "auth")
+            if check_convergence:
+                from pyspark.sql import Observation
 
-            obs = Observation(f"hits_l1_{it}")
-            to_save = new_state.observe(
-                obs,
-                F.sum(
-                    F.abs(F.col("hub") - F.col("hub_prev"))
-                    + F.abs(F.col("auth") - F.col("auth_prev"))
-                ).alias("d"),
-            ).select("v_id", "hub", "auth")
-        if checkpoint is not None:
-            saved = checkpoint.save(it, to_save, {"tol": tol})
-        else:
-            saved = store.save(to_save, it)
-
-        info.iterations = it
-        if check_convergence:
-            delta = float(obs.get["d"])
-            info.deltas.append(delta)
+                obs = Observation(f"hits_l1_{it}")
+                to_save = new_state.observe(
+                    obs,
+                    F.sum(
+                        F.abs(F.col("hub") - F.col("hub_prev"))
+                        + F.abs(F.col("auth") - F.col("auth_prev"))
+                    ).alias("d"),
+                ).select("v_id", "hub", "auth")
             if checkpoint is not None:
-                checkpoint.update_metrics(it, {"l1_delta": delta})
-        araw.unpersist()
-        auth.unpersist()
-        hraw.unpersist()
-        state = saved.select("v_id", "hub", "auth")
+                saved = checkpoint.save(it, to_save, {"tol": tol})
+            else:
+                saved = store.save(to_save, it)
 
-        if check_convergence and delta < n * tol:
-            info.converged = True
-            break
+            info.iterations = it
+            if check_convergence:
+                delta = float(obs.get["d"])
+                info.deltas.append(delta)
+                if checkpoint is not None:
+                    checkpoint.update_metrics(it, {"l1_delta": delta})
+            araw.unpersist()
+            auth.unpersist()
+            hraw.unpersist()
+            state = saved.select("v_id", "hub", "auth")
+
+            if check_convergence and delta < n * tol:
+                info.converged = True
+                break
 
     adj_src.unpersist()
     adj_dst.unpersist()

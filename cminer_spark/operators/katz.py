@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cminer_spark.plans.checkpoint import EphemeralStateStore, truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = ["katz", "KatzInfo"]
 
@@ -91,38 +92,42 @@ def katz(
         )
     else:
         x = verts.withColumn("katz", F.lit(float(beta)))
-    for i in range(max_iter):
-        msgs = (
-            adj.join(x.hint("shuffle_hash"), adj["src"] == x["v_id"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("w") * F.col("katz")).alias("m"))
-        )
-        nxt = (
-            verts.join(msgs.hint("shuffle_hash"), verts["v_id"] == msgs["dst"], "left")
-            .join(
-                x.select(F.col("v_id").alias("_pv"), F.col("katz").alias("_pk")),
-                verts["v_id"] == F.col("_pv"),
+    n_adj = adj.count()
+    # loop-scoped config (plans/loopconf.py): graph-sized shuffle
+    # partitions, AQE off — one scheduler job per superstep
+    with superstep_conf(edges.sparkSession, n_adj):
+        for i in range(max_iter):
+            msgs = (
+                adj.join(x.hint("shuffle_hash"), adj["src"] == x["v_id"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("w") * F.col("katz")).alias("m"))
             )
-            .select(
-                "v_id",
-                (
-                    F.lit(float(beta))
-                    + F.lit(float(alpha)) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("katz"),
-                "_pk",
+            nxt = (
+                verts.join(msgs.hint("shuffle_hash"), verts["v_id"] == msgs["dst"], "left")
+                .join(
+                    x.select(F.col("v_id").alias("_pv"), F.col("katz").alias("_pk")),
+                    verts["v_id"] == F.col("_pv"),
+                )
+                .select(
+                    "v_id",
+                    (
+                        F.lit(float(beta))
+                        + F.lit(float(alpha)) * F.coalesce(F.col("m"), F.lit(0.0))
+                    ).alias("katz"),
+                    "_pk",
+                )
             )
-        )
-        obs = Observation(f"katz_{i}")
-        to_save = nxt.observe(
-            obs, F.sum(F.abs(F.col("katz") - F.col("_pk"))).alias("l1")
-        ).select("v_id", "katz")
-        x = store.save(to_save, i)
-        delta = float(obs.get["l1"] or 0.0)
-        info.deltas.append(delta)
-        info.iterations = i + 1
-        if tol > 0 and delta < tol:
-            info.converged = True
-            break
+            obs = Observation(f"katz_{i}")
+            to_save = nxt.observe(
+                obs, F.sum(F.abs(F.col("katz") - F.col("_pk"))).alias("l1")
+            ).select("v_id", "katz")
+            x = store.save(to_save, i)
+            delta = float(obs.get["l1"] or 0.0)
+            info.deltas.append(delta)
+            info.iterations = i + 1
+            if tol > 0 and delta < tol:
+                info.converged = True
+                break
     adj.unpersist()
     verts.unpersist()
     # detach the result from the ephemeral store before deleting it

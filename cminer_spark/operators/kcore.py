@@ -47,6 +47,7 @@ from cminer_spark.plans.checkpoint import (
     SuperstepCheckpoint,
     truncate_lineage,
 )
+from cminer_spark.plans.loopconf import superstep_conf
 
 
 @dataclass
@@ -120,59 +121,62 @@ def core_numbers(
 
     from pyspark.sql import Observation
 
-    for rnd in range(start_round + 1, max_rounds + 1):
-        # neighbor estimates, pre-aggregated to (vertex, estimate,
-        # multiplicity) — the window below runs over DISTINCT estimate
-        # values per vertex, never the raw neighbor list
-        nb = sym.join(
-            state.select(F.col("v_id").alias("v"), F.col("core").alias("c")).hint(
-                "shuffle_hash"
-            ),
-            "v",
-        ).select(F.col("u"), F.col("c"))
-        cnt = nb.groupBy("u", "c").agg(F.count(F.lit(1)).alias("k"))
-        w = (
-            Window.partitionBy("u")
-            .orderBy(F.desc("c"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        h = (
-            cnt.withColumn("ge", F.sum("k").over(w))
-            .select("u", F.least(F.col("c"), F.col("ge")).alias("m"))
-            .groupBy("u")
-            .agg(F.max("m").alias("h"))
-        )
-        new_state = (
-            state.join(h.withColumnRenamed("u", "v_id").hint("shuffle_hash"),
-                       "v_id", "left")
-            .select(
-                "v_id",
-                F.least(
-                    F.col("core"), F.coalesce("h", F.lit(0))
-                ).cast("long").alias("core"),
-                F.col("core").alias("core_prev"),
+    # loop-scoped config (plans/loopconf.py): graph-sized shuffle
+    # partitions, AQE off — one scheduler job per round
+    with superstep_conf(spark, n_sym):
+        for rnd in range(start_round + 1, max_rounds + 1):
+            # neighbor estimates, pre-aggregated to (vertex, estimate,
+            # multiplicity) — the window below runs over DISTINCT estimate
+            # values per vertex, never the raw neighbor list
+            nb = sym.join(
+                state.select(F.col("v_id").alias("v"), F.col("core").alias("c")).hint(
+                    "shuffle_hash"
+                ),
+                "v",
+            ).select(F.col("u"), F.col("c"))
+            cnt = nb.groupBy("u", "c").agg(F.count(F.lit(1)).alias("k"))
+            w = (
+                Window.partitionBy("u")
+                .orderBy(F.desc("c"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-        )
-        obs = Observation(f"kcore_chg_{rnd}")
-        to_save = new_state.observe(
-            obs,
-            F.sum((F.col("core") != F.col("core_prev")).cast("long")).alias(
-                "chg"
-            ),
-        ).select("v_id", "core")
-        if checkpoint is not None:
-            saved = checkpoint.save(rnd, to_save, {})
-        else:
-            saved = store.save(to_save, rnd)
-        changed = int(obs.get["chg"] or 0)
-        info.rounds = rnd
-        info.changed.append(changed)
-        if checkpoint is not None:
-            checkpoint.update_metrics(rnd, {"changed": changed})
-        state = saved.select("v_id", "core")
-        if changed == 0:
-            info.converged = True
-            break
+            h = (
+                cnt.withColumn("ge", F.sum("k").over(w))
+                .select("u", F.least(F.col("c"), F.col("ge")).alias("m"))
+                .groupBy("u")
+                .agg(F.max("m").alias("h"))
+            )
+            new_state = (
+                state.join(h.withColumnRenamed("u", "v_id").hint("shuffle_hash"),
+                           "v_id", "left")
+                .select(
+                    "v_id",
+                    F.least(
+                        F.col("core"), F.coalesce("h", F.lit(0))
+                    ).cast("long").alias("core"),
+                    F.col("core").alias("core_prev"),
+                )
+            )
+            obs = Observation(f"kcore_chg_{rnd}")
+            to_save = new_state.observe(
+                obs,
+                F.sum((F.col("core") != F.col("core_prev")).cast("long")).alias(
+                    "chg"
+                ),
+            ).select("v_id", "core")
+            if checkpoint is not None:
+                saved = checkpoint.save(rnd, to_save, {})
+            else:
+                saved = store.save(to_save, rnd)
+            changed = int(obs.get["chg"] or 0)
+            info.rounds = rnd
+            info.changed.append(changed)
+            if checkpoint is not None:
+                checkpoint.update_metrics(rnd, {"changed": changed})
+            state = saved.select("v_id", "core")
+            if changed == 0:
+                info.converged = True
+                break
 
     sym.unpersist()
     verts.unpersist()

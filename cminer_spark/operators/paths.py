@@ -40,6 +40,7 @@ from cminer_spark.plans.checkpoint import (
     SuperstepCheckpoint,
     truncate_lineage,
 )
+from cminer_spark.plans.loopconf import superstep_conf
 
 
 @dataclass
@@ -115,49 +116,52 @@ def shortest_paths(
     frontier = truncate_lineage(frontier)
     store = EphemeralStateStore(spark, "sssp") if checkpoint is None else None
 
-    for rnd in range(start_round + 1, max_rounds + 1):
-        cand = (
-            adj.join(
-                frontier.select(
-                    F.col("v_id").alias("u"), F.col("dist").alias("du")
-                ).hint("shuffle_hash"),
-                "u",
+    # loop-scoped config (plans/loopconf.py): graph-sized shuffle
+    # partitions, AQE off — one scheduler job per relaxation round
+    with superstep_conf(spark, n_adj):
+        for rnd in range(start_round + 1, max_rounds + 1):
+            cand = (
+                adj.join(
+                    frontier.select(
+                        F.col("v_id").alias("u"), F.col("dist").alias("du")
+                    ).hint("shuffle_hash"),
+                    "u",
+                )
+                .select(F.col("v").alias("v_id"), (F.col("du") + F.col("w")).alias("nd"))
+                .groupBy("v_id")
+                .agg(F.min("nd").alias("nd"))
             )
-            .select(F.col("v").alias("v_id"), (F.col("du") + F.col("w")).alias("nd"))
-            .groupBy("v_id")
-            .agg(F.min("nd").alias("nd"))
-        )
-        merged = (
-            state.join(cand.hint("shuffle_hash"), "v_id", "full_outer")
-            .select(
-                "v_id",
-                F.least(
-                    F.coalesce("dist", F.col("nd")), F.coalesce("nd", F.col("dist"))
-                ).alias("dist"),
-                (
-                    F.col("dist").isNull()
-                    | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
-                ).alias("_imp"),
+            merged = (
+                state.join(cand.hint("shuffle_hash"), "v_id", "full_outer")
+                .select(
+                    "v_id",
+                    F.least(
+                        F.coalesce("dist", F.col("nd")), F.coalesce("nd", F.col("dist"))
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+                    ).alias("_imp"),
+                )
             )
-        )
-        obs = Observation(f"sssp_imp_{rnd}")
-        to_save = merged.observe(
-            obs, F.sum(F.col("_imp").cast("long")).alias("imp")
-        ).select("v_id", "dist", "_imp")
-        if checkpoint is not None:
-            saved = checkpoint.save(rnd, to_save, {})
-        else:
-            saved = store.save(to_save, rnd)
-        improved = int(obs.get["imp"] or 0)
-        info.rounds = rnd
-        info.improved.append(improved)
-        if checkpoint is not None:
-            checkpoint.update_metrics(rnd, {"improved": improved})
-        state = saved.select("v_id", "dist")
-        frontier = saved.where(F.col("_imp")).select("v_id", "dist")
-        if improved == 0:
-            info.converged = True
-            break
+            obs = Observation(f"sssp_imp_{rnd}")
+            to_save = merged.observe(
+                obs, F.sum(F.col("_imp").cast("long")).alias("imp")
+            ).select("v_id", "dist", "_imp")
+            if checkpoint is not None:
+                saved = checkpoint.save(rnd, to_save, {})
+            else:
+                saved = store.save(to_save, rnd)
+            improved = int(obs.get["imp"] or 0)
+            info.rounds = rnd
+            info.improved.append(improved)
+            if checkpoint is not None:
+                checkpoint.update_metrics(rnd, {"improved": improved})
+            state = saved.select("v_id", "dist")
+            frontier = saved.where(F.col("_imp")).select("v_id", "dist")
+            if improved == 0:
+                info.converged = True
+                break
 
     adj.unpersist()
     result = state.select("v_id", "dist")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from cminer_spark.plans.checkpoint import truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 
 @dataclass
@@ -105,27 +106,30 @@ def ktruss_edges(
         info.n_edges = n_cur
         return und, info
     need = k - 2
-    for rnd in range(1, max_rounds + 1):
-        if n_cur == 0:
-            info.converged = True
-            break
-        sup = _edge_support(und)
-        kept = (
-            und.join(sup.hint("shuffle_hash"), ["a", "b"], "left")
-            .where(F.coalesce("support", F.lit(0)) >= need)
-            .select("a", "b")
-        )
-        obs = Observation(f"truss_{rnd}")
-        kept = truncate_lineage(
-            kept.observe(obs, F.count(F.lit(1)).alias("n"))
-        )
-        n_kept = int(obs.get["n"] or 0)
-        info.rounds = rnd
-        und = kept
-        if n_kept == n_cur:
-            info.converged = True
+    # loop-scoped config (plans/loopconf.py): peel rounds under
+    # edge-sized shuffle partitions with AQE off
+    with superstep_conf(edges.sparkSession, n_cur):
+        for rnd in range(1, max_rounds + 1):
+            if n_cur == 0:
+                info.converged = True
+                break
+            sup = _edge_support(und)
+            kept = (
+                und.join(sup.hint("shuffle_hash"), ["a", "b"], "left")
+                .where(F.coalesce("support", F.lit(0)) >= need)
+                .select("a", "b")
+            )
+            obs = Observation(f"truss_{rnd}")
+            kept = truncate_lineage(
+                kept.observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            n_kept = int(obs.get["n"] or 0)
+            info.rounds = rnd
+            und = kept
+            if n_kept == n_cur:
+                info.converged = True
+                n_cur = n_kept
+                break
             n_cur = n_kept
-            break
-        n_cur = n_kept
     info.n_edges = n_cur
     return und, info

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cminer_spark.plans.checkpoint import truncate_lineage
+from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = ["wl_colors", "wl_fingerprints"]
 
@@ -64,34 +65,38 @@ def wl_colors(
         .persist()
     )
     colors = _init_colors(vertices)
-    for _ in range(rounds):
-        nb = (
-            sym.join(
-                colors.select(
+    n_sym = sym.count()
+    # loop-scoped config (plans/loopconf.py): DB-sized shuffle
+    # partitions, AQE off — one scheduler job per refinement round
+    with superstep_conf(edges.sparkSession, n_sym):
+        for _ in range(rounds):
+            nb = (
+                sym.join(
+                    colors.select(
+                        "graph_id",
+                        F.col("v_id").alias("u"),
+                        F.col("color").alias("nc"),
+                    ).hint("shuffle_hash"),
+                    ["graph_id", "u"],
+                )
+                .groupBy("graph_id", F.col("v").alias("v_id"))
+                .agg(
+                    F.array_join(
+                        F.sort_array(F.collect_list("nc")), ","
+                    ).alias("njoin")
+                )
+            )
+            colors = truncate_lineage(
+                colors.join(nb, ["graph_id", "v_id"], "left").select(
                     "graph_id",
-                    F.col("v_id").alias("u"),
-                    F.col("color").alias("nc"),
-                ).hint("shuffle_hash"),
-                ["graph_id", "u"],
+                    "v_id",
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("color"), F.coalesce("njoin", F.lit(""))
+                        )
+                    ).alias("color"),
+                )
             )
-            .groupBy("graph_id", F.col("v").alias("v_id"))
-            .agg(
-                F.array_join(
-                    F.sort_array(F.collect_list("nc")), ","
-                ).alias("njoin")
-            )
-        )
-        colors = truncate_lineage(
-            colors.join(nb, ["graph_id", "v_id"], "left").select(
-                "graph_id",
-                "v_id",
-                F.md5(
-                    F.concat_ws(
-                        "|", F.col("color"), F.coalesce("njoin", F.lit(""))
-                    )
-                ).alias("color"),
-            )
-        )
     sym.unpersist()
     return colors
 
