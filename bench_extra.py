@@ -452,7 +452,10 @@ ENTRIES = {
 
 def plan_frames(ctx, name):
     """Return {label: DataFrame} whose explain output represents the
-    entry's hot plan(s). Loop operators expose one inner round."""
+    entry's hot plan(s). Loop operators expose one inner round; the
+    special key ``_conf_rows`` asks the caller to explain under the
+    loop-scoped config (plans/loopconf.py), the way the operator
+    actually executes the round."""
     from cminer_spark.plans.checkpoint import truncate_lineage
 
     if name == "pagerank_events":
@@ -485,7 +488,7 @@ def plan_frames(ctx, name):
         sums = joined.select(
             "dst", (F.col("p") * F.col("rank")).alias("m")
         ).groupBy("dst").agg(F.sum("m").alias("in_mass"))
-        return {"superstep_sums": sums}
+        return {"superstep_sums": sums, "_conf_rows": ctx.edges.count()}
     if name == "cc_events":
         from cminer_spark.operators.components import (
             _large_star,
@@ -498,7 +501,7 @@ def plan_frames(ctx, name):
             .distinct()
         )
         e = truncate_lineage(e)
-        return {"round": _small_star(_large_star(e))}
+        return {"round": _small_star(_large_star(e)), "_conf_rows": ctx.edges.count()}
     if name == "lpa4_events":
         from cminer_spark.operators.lpa import _lpa_round
 
@@ -519,7 +522,7 @@ def plan_frames(ctx, name):
         labels = truncate_lineage(
             all_v.select("v_id", F.col("v_id").alias("label"))
         )
-        return {"round": _lpa_round(sym, labels)}
+        return {"round": _lpa_round(sym, labels), "_conf_rows": ctx.edges.count()}
     if name == "triangles_events":
         from cminer_spark.operators.triangles import triangle_stats
 
@@ -584,6 +587,23 @@ def plan_frames(ctx, name):
     return {}
 
 
+def _explain_frames(frames, name, explain_tag):
+    import contextlib
+    import io
+
+    for label, df in frames.items():
+        out = os.path.join(
+            _HERE, "plans", "r06", f"{name}_{explain_tag}.txt"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        with open(out, "w") as f:
+            f.write(f"== {name} :: {label} ==\n")
+            f.write(buf.getvalue())
+        print(f"wrote {out}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -630,22 +650,20 @@ def main() -> None:
             os.makedirs(os.path.join(_HERE, "plans", "r06"), exist_ok=True)
             frames = plan_frames(ctx, name)
             call = frames.pop("_call", None)
+            conf_rows = frames.pop("_conf_rows", None)
             if call is not None:
                 frames = {"stats": call()}
-            for label, df in frames.items():
-                out = os.path.join(
-                    _HERE, "plans", "r06", f"{name}_{explain_tag}.txt"
-                )
-                import contextlib
-                import io
+            import contextlib as _ctxlib
 
-                buf = io.StringIO()
-                with contextlib.redirect_stdout(buf):
-                    df.explain("formatted")
-                with open(out, "w") as f:
-                    f.write(f"== {name} :: {label} ==\n")
-                    f.write(buf.getvalue())
-                print(f"wrote {out}", file=sys.stderr)
+            from cminer_spark.plans.loopconf import superstep_conf
+
+            conf_cm = (
+                superstep_conf(spark, conf_rows)
+                if conf_rows is not None
+                else _ctxlib.nullcontext()
+            )
+            with conf_cm:
+                _explain_frames(frames, name, explain_tag)
             continue
         run = ENTRIES[name](ctx)
         secs, jobs = [], []
