@@ -170,10 +170,9 @@ def anf_sketch(
         prev = float(n_vertices)
         n_sym = sym.count()
         # Loop-scoped config (plans/loopconf.py): shuffle partitions
-        # sized to the message volume (|sym| wide sketch rows — k
-        # packed longs each, so ~4x fewer rows per partition than the
-        # narrow-row default), AQE off — one scheduler job per hop.
-        with superstep_conf(spark, n_sym, rows_per_partition=64_000):
+        # sized to the message volume (|sym| sketch rows of k packed
+        # longs), AQE off — one scheduler job per hop.
+        with superstep_conf(spark, n_sym):
             for h in range(1, max_h + 1):
                 # shuffle_hash: the state side is a parquet scan with
                 # unknown stats — Catalyst would otherwise pick a

@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 
 from cminer_spark.operators.graph import _und_sym
 from cminer_spark.plans.checkpoint import truncate_lineage
-from cminer_spark.plans.loopconf import superstep_conf
 
 __all__ = ["propagate_features"]
 
@@ -102,37 +101,29 @@ def propagate_features(
     # does, so an unpersist-on-exit would drop the cache before first
     # use and every round would recompute the distinct shuffle.
     sym = truncate_lineage(_und_sym(edges))
-    n_sym = sym.count()
-    # feature dimension (for sizing the exploded shuffle): one
-    # limit-1 probe, the only setup action besides the sym count
-    dim_row = features.select(F.size(feature_col).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row and dim_row["d"] else 1
 
     st = features.select(
         "v_id", F.posexplode(feature_col).alias("pos", "val")
     ).select("v_id", "pos", F.col("val").cast("double").alias("val"))
     st = truncate_lineage(st)
 
-    # Loop-scoped config (plans/loopconf.py): the per-round message
-    # volume is |sym|·dim exploded rows; shuffle partitions derive
-    # from that, AQE off. The final state is materialized inside the
-    # loop config so the caller's first action replays a checkpoint
-    # scan instead of the whole round chain under session config.
-    with superstep_conf(edges.sparkSession, n_sym * max(dim, 1)):
-        for rnd in range(1, rounds + 1):
-            st = _prop_round(sym, st, alpha)
-            # cut lineage at the checkpoint cadence and after the
-            # final round (each cut materializes the state)
-            if rnd % checkpoint_every == 0 or rnd == rounds:
-                st = truncate_lineage(st)
+    # The round chain stays DECLARATIVE (r6 A/B: materializing the
+    # final round + probing the feature dimension for a loop-scoped
+    # config cost ~2s of extra actions on the sf0.1 events graph and
+    # saved less — the 2-round exploded chain is real parallel work,
+    # not scheduler fixed cost, so one AQE-planned caller action is
+    # the right execution). Lineage is still cut at the checkpoint
+    # cadence for long runs.
+    for rnd in range(1, rounds + 1):
+        st = _prop_round(sym, st, alpha)
+        if rnd % checkpoint_every == 0 and rnd != rounds:
+            st = truncate_lineage(st)
 
-        if not as_array:
-            return st
-        return truncate_lineage(
-            st.groupBy("v_id").agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("emb")
-            )
-        )
+    if not as_array:
+        return st
+    return st.groupBy("v_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "val"))),
+            lambda s: s["val"],
+        ).alias("emb")
+    )

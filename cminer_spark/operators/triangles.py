@@ -46,12 +46,10 @@ def triangle_stats(
     # Scale-adaptive execution config (plans/loopconf.py): the whole
     # orientation + wedge + closing chain is one fixed-shape plan;
     # shuffle partitions derive from the simple-edge count (wedge rows
-    # can exceed |E|, so size generously at 64k rows/partition) and
+    # can exceed |E|, so size generously at 16k rows/partition) and
     # AQE is off — the stats materialization is a single scheduler job
     # instead of ~10 query-stage jobs.
-    with superstep_conf(
-        edges.sparkSession, n_und, rows_per_partition=64_000
-    ):
+    with superstep_conf(edges.sparkSession, n_und, rows_per_partition=16_000):
         return _triangle_stats_run(edges, und, vertices, truncate_lineage)
 
 

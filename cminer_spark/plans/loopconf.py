@@ -32,7 +32,17 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-ROWS_PER_PARTITION = 250_000
+# ~32k rows per shuffle partition balances task-scheduling overhead
+# against parallelism for the row sizes these loops shuffle (8-140
+# bytes): a 100k-edge graph gets ~4 partitions (meaningful tasks, one
+# scheduler job), a 2M-row exploded state fills the session spread,
+# and anything >= session_partitions × 32k keeps the full session
+# setting (the cap), so large-graph plans are unchanged. Measured at
+# sf0.1/local[32]: 250k rows/partition serialized the LPA mode
+# aggregate (1 partition for 237k rows) and the dim-8 feature
+# propagation (8 partitions for 1.9M rows) — 32k restores the
+# parallelism while keeping the tiny-graph job-count win.
+ROWS_PER_PARTITION = 32_000
 
 _LOOP_CONF = {
     "spark.sql.adaptive.enabled": "false",

@@ -156,10 +156,9 @@ def test_topk_cap_no_self_join(spark):
 def test_propagation_round_uses_shuffle_hash(spark):
     """The propagation round's adjacency-state join must stay
     shuffle-hash (the same superstep contract as PageRank/CC).
-    propagate_features() returns a checkpointed plan since r6 (the
-    state is materialized inside the loop config), so assert on the
-    raw round plan via _prop_round — the same pattern as the LPA
-    plan test."""
+    Asserted on the raw round plan via _prop_round (the same
+    pattern as the LPA plan test), independent of how many rounds the
+    public wrapper chains."""
     from cminer_spark.operators.graph import _und_sym
     from cminer_spark.operators.propagation import _prop_round
 
