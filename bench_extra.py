@@ -527,6 +527,129 @@ def plan_frames(ctx, name):
         from cminer_spark.operators.triangles import triangle_stats
 
         return {"stats": None, "_call": lambda: triangle_stats(ctx.edges)}
+    if name == "anf_sketch_events":
+        # one FM-sketch hop: adjacency x state shuffle_hash join +
+        # single bit_or aggregate (bench call: max_h=6, k=16, seed=42)
+        from cminer_spark.operators.anf import _init_state, _mask_cols, _sym
+
+        k = 16
+        sym = _sym(ctx.edges, directed=False).persist()
+        cols = _mask_cols(k)
+        state = truncate_lineage(_init_state(sym, k, seed=42))
+        msgs = sym.join(
+            state.withColumnRenamed("v_id", "u").hint("shuffle_hash"), "u"
+        ).select(F.col("v").alias("v_id"), *cols)
+        hop = (
+            state.unionByName(msgs)
+            .groupBy("v_id")
+            .agg(*[F.bit_or(c).alias(c) for c in cols])
+        )
+        return {"hop": hop, "_conf_rows": sym.count()}
+    if name == "mis_events":
+        # one Luby round: frontier-filtered adjacency join, min-priority
+        # aggregate, winner/out status fold
+        from cminer_spark.operators.graph import _und_sym
+        from cminer_spark.operators.mis import UNDECIDED, _pri
+
+        sym = _und_sym(ctx.edges).persist()
+        all_v = (
+            ctx.edges.select(F.col("src").alias("v_id"))
+            .union(ctx.edges.select(F.col("dst").alias("v_id")))
+            .distinct()
+        )
+        st = truncate_lineage(
+            all_v.select("v_id", F.lit(UNDECIDED).alias("status"))
+        )
+        und = st.where(F.col("status") == UNDECIDED)
+        act = sym.join(
+            und.select(
+                F.col("v_id").alias("nbr"), _pri("v_id").alias("pu")
+            ).hint("shuffle_hash"),
+            "nbr",
+        ).join(und.select(F.col("v_id").alias("v")).hint("shuffle_hash"), "v")
+        mn = act.groupBy(F.col("v").alias("v_id")).agg(
+            F.min("pu").alias("mp")
+        )
+        scored = st.join(mn.hint("shuffle_hash"), "v_id", "left")
+        return {"round_min": mn, "round_scored": scored,
+                "_conf_rows": sym.count()}
+    if name == "greedy_color_events":
+        # one Jones-Plassmann round: adjacency x state x uncolored
+        # frontier, combinable (min uncolored pri, used-color set) agg
+        from cminer_spark.operators.coloring import UNCOLORED, _pri
+        from cminer_spark.operators.graph import _und_sym
+
+        sym = _und_sym(ctx.edges).persist()
+        all_v = (
+            ctx.edges.select(F.col("src").alias("v_id"))
+            .union(ctx.edges.select(F.col("dst").alias("v_id")))
+        )
+        deg = sym.groupBy(F.col("v").alias("v_id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        st = truncate_lineage(
+            all_v.distinct()
+            .join(deg.hint("shuffle_hash"), "v_id", "left")
+            .select(
+                "v_id",
+                F.lit(UNCOLORED).cast("long").alias("color"),
+                _pri(F.col("v_id"), F.col("deg")).alias("pri"),
+            )
+        )
+        nbr_st = st.select(
+            F.col("v_id").alias("nbr"),
+            F.col("pri").alias("np"),
+            F.col("color").alias("nc"),
+        )
+        unc_v = st.where(F.col("color") == UNCOLORED).select(
+            F.col("v_id").alias("v")
+        )
+        g = (
+            sym.join(nbr_st.hint("shuffle_hash"), "nbr")
+            .join(unc_v.hint("shuffle_hash"), "v")
+            .groupBy(F.col("v").alias("v_id"))
+            .agg(
+                F.min(
+                    F.when(F.col("nc") == UNCOLORED, F.col("np"))
+                ).alias("mp"),
+                F.collect_set(
+                    F.when(F.col("nc") != UNCOLORED, F.col("nc"))
+                ).alias("used"),
+            )
+        )
+        return {"round_agg": g, "_conf_rows": sym.count()}
+    if name == "feature_prop_events":
+        # one damped-averaging round over the exploded (v_id, pos, val)
+        # state (bench call: 8-dim features, rounds=2, alpha=0.5)
+        from cminer_spark.operators.graph import _und_sym
+        from cminer_spark.operators.propagation import _prop_round
+
+        sym = truncate_lineage(_und_sym(ctx.edges))
+        feats = (
+            ctx.edges.select(F.col("src").alias("v_id"))
+            .union(ctx.edges.select(F.col("dst").alias("v_id")))
+            .distinct()
+            .select(
+                "v_id",
+                F.array(
+                    *[
+                        ((F.col("v_id") % F.lit(7 + p)) + F.lit(1)).cast(
+                            "double"
+                        )
+                        for p in range(8)
+                    ]
+                ).alias("emb"),
+            )
+        )
+        st = truncate_lineage(
+            feats.select(
+                "v_id", F.posexplode("emb").alias("pos", "val")
+            ).select(
+                "v_id", "pos", F.col("val").cast("double").alias("val")
+            )
+        )
+        return {"round": _prop_round(sym, st, alpha=0.5),
+                "_conf_rows": st.count()}
     if name == "edge_extract_synth":
         from cminer_spark.operators import extract_edges
 
@@ -657,9 +780,14 @@ def main() -> None:
 
             from cminer_spark.plans.loopconf import superstep_conf
 
+            # EXPLAIN_NO_LOOP_CONF=1 captures the same logical round
+            # under the plain session conf (AQE on, session shuffle
+            # partitions) — the pre-r6 execution shape for operators
+            # whose only r6 change was the loop-scoped conf.
+            no_conf = os.environ.get("EXPLAIN_NO_LOOP_CONF") == "1"
             conf_cm = (
                 superstep_conf(spark, conf_rows)
-                if conf_rows is not None
+                if conf_rows is not None and not no_conf
                 else _ctxlib.nullcontext()
             )
             with conf_cm:
